@@ -1,0 +1,155 @@
+"""ConvolutionalVQVAE and its encoder/decoder halves.
+
+Reference: vq_vae/convolutional_vq_vae.py:18-105, convolutional_encoder.py:7-44,
+deconvolutional_decoder.py:7-79. Constructor fields mirror the reference's
+signature one-for-one so the five stage configs translate directly
+(BASELINE.json configs; e.g. train_speech.py:152-153).
+
+Public tensor layout matches the reference: inputs and reconstructions are
+(B, C, L) channels-first. Internally everything runs channels-last
+((B, L, C), features in the TPU lane dimension); the two transposes at the
+boundary are free under XLA fusion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.conv import Conv1d, ConvTranspose1d
+from ..ops.jitter import Jitter
+from ..ops.residual import ResidualStack
+from ..ops.vq import VectorQuantizer, VQOutput
+
+__all__ = ["ConvolutionalEncoder", "DeconvolutionalDecoder", "ConvolutionalVQVAE"]
+
+
+class ConvolutionalEncoder(nn.Module):
+    """Conv3 -> ResidualStack with an extra outer skip (convolutional_encoder.py:39-44).
+
+    Operates channels-last: (B, L, C_in) -> (B, L, H)."""
+
+    num_hiddens: int
+    num_residual_layers: int
+    num_residual_hiddens: int
+    tied: bool = True
+    compat_init: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x1 = Conv1d(self.num_hiddens, kernel_size=3, padding=1, name="conv_1")(x)
+        stack = ResidualStack(
+            self.num_hiddens,
+            self.num_residual_layers,
+            self.num_residual_hiddens,
+            tied=self.tied,
+            compat_init=self.compat_init,
+            name="residual_stack",
+        )
+        return stack(x1) + x1
+
+
+class DeconvolutionalDecoder(nn.Module):
+    """[Jitter] -> Conv3 -> ResidualStack -> 3x ConvTranspose3 (last linear)
+    (deconvolutional_decoder.py:62-79). Channels-last (B, L, D) -> (B, L, C_out)."""
+
+    out_channels: int
+    num_hiddens: int
+    num_residual_layers: int
+    num_residual_hiddens: int
+    use_jitter: bool = True
+    jitter_probability: float = 0.25
+    tied: bool = True
+    compat_init: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.use_jitter:
+            x = Jitter(self.jitter_probability, name="jitter")(x, train=train)
+        x = Conv1d(self.num_hiddens, kernel_size=3, padding=1, name="conv_1")(x)
+        x = ResidualStack(
+            self.num_hiddens,
+            self.num_residual_layers,
+            self.num_residual_hiddens,
+            tied=self.tied,
+            compat_init=self.compat_init,
+            name="residual_stack",
+        )(x)
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, name="conv_trans_1")(x))
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, name="conv_trans_2")(x))
+        return ConvTranspose1d(self.out_channels, name="conv_trans_3")(x)
+
+
+class ConvolutionalVQVAE(nn.Module):
+    """Encoder -> pre-VQ conv -> [mean-pool] -> VQ -> Decoder
+    (convolutional_vq_vae.py:93-100). Public layout (B, C, L)."""
+
+    in_channels: int
+    num_hiddens: int
+    embedding_dim: int
+    num_residual_layers: int
+    num_residual_hiddens: int
+    commitment_cost: float
+    num_embeddings: int
+    use_jitter: bool = True
+    encoder_average_pooling: bool = False
+    out_channels: Optional[int] = None
+    # The reference hard-codes decoder jitter p=0.25 (convolutional_vq_vae.py:52).
+    jitter_probability: float = 0.25
+    tied: bool = True
+    compat_init: bool = True
+    vq_backend: str = "xla"
+
+    def setup(self):
+        self._encoder = ConvolutionalEncoder(
+            self.num_hiddens,
+            self.num_residual_layers,
+            self.num_residual_hiddens,
+            tied=self.tied,
+            compat_init=self.compat_init,
+        )
+        self._pre_vq_conv = Conv1d(self.embedding_dim, kernel_size=3, padding=1)
+        self._vq = VectorQuantizer(
+            num_embeddings=self.num_embeddings,
+            embedding_dim=self.embedding_dim,
+            commitment_cost=self.commitment_cost,
+            backend=self.vq_backend,
+        )
+        self._decoder = DeconvolutionalDecoder(
+            out_channels=self.out_channels if self.out_channels is not None else self.in_channels,
+            num_hiddens=self.num_hiddens,
+            num_residual_layers=self.num_residual_layers,
+            num_residual_hiddens=self.num_residual_hiddens,
+            use_jitter=self.use_jitter,
+            jitter_probability=self.jitter_probability,
+            tied=self.tied,
+            compat_init=self.compat_init,
+        )
+
+    def get_embedding_dim(self) -> int:
+        return self.embedding_dim
+
+    def _encode(self, x: jnp.ndarray, train_vq: bool) -> VQOutput:
+        z = jnp.swapaxes(x, -1, -2)  # (B, C, L) -> (B, L, C)
+        z = self._encoder(z)
+        z = self._pre_vq_conv(z)
+        if self.encoder_average_pooling:
+            # Mean over time (convolutional_vq_vae.py:96-97), keepdims like torch.
+            z = jnp.mean(z, axis=1, keepdims=True)
+        return self._vq(z, train_vq=train_vq)
+
+    def __call__(
+        self, x: jnp.ndarray, train: bool = True, train_vq: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(vq_loss, x_recon, perplexity), x and x_recon (B, C, L)."""
+        out = self._encode(x, train_vq)
+        recon = self._decoder(out.quantized, train=train)
+        return out.loss, jnp.swapaxes(recon, -1, -2), out.perplexity
+
+    def get_latent_representation(self, x: jnp.ndarray, train_vq: bool = False):
+        """(loss, quantized (B, D, L), perplexity, encodings (B*L, K)) —
+        the reference return layout (convolutional_vq_vae.py:102-105)."""
+        out = self._encode(x, train_vq)
+        return out.loss, jnp.swapaxes(out.quantized, -1, -2), out.perplexity, out.encodings

@@ -1,0 +1,76 @@
+"""Length-preserving 1-D conv blocks, channels-last for TPU.
+
+The reference stacks ``nn.Conv1d`` / ``nn.ConvTranspose1d`` with kernel 3,
+stride 1, padding 1 everywhere (convolutional_encoder.py:17-24,
+deconvolutional_decoder.py:19-61) — every layer is length-preserving. On TPU
+we keep features in the lane dimension (channels-last, (B, L, C)); XLA lowers
+these convs to MXU matmuls over the unrolled kernel taps.
+
+Note on ConvTranspose1d: with stride 1, kernel 3, padding 1 a transposed
+convolution is mathematically a plain convolution with a flipped kernel and
+identical padding. Since no torch weights are ever imported, we implement it
+as a Conv with its own parameters — identical function class, identical
+shapes, simpler lowering.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .initializers import kaiming_uniform_relu, torch_default_bias, torch_default_weight
+
+__all__ = ["Conv1d", "ConvTranspose1d", "Dense"]
+
+
+class Conv1d(nn.Module):
+    """1-D convolution on (B, L, C_in) -> (B, L', C_out).
+
+    ``init_mode="kaiming"`` matches the reference's explicit kaiming-uniform relu
+    init; ``init_mode="torch_default"`` matches torch's module default.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    init_mode: str = "kaiming"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel_init = kaiming_uniform_relu if self.init_mode == "kaiming" else torch_default_weight
+        fan_in = self.kernel_size * x.shape[-1]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            use_bias=self.use_bias,
+            kernel_init=kernel_init,
+            bias_init=torch_default_bias(fan_in),
+        )(x)
+
+
+class ConvTranspose1d(Conv1d):
+    """Stride-1 transposed conv == conv with flipped kernel (see module doc).
+
+    Kept as a distinct name so model code reads like the reference
+    (deconvolutional_decoder.py:36-61)."""
+
+
+class Dense(nn.Module):
+    """Linear layer with torch's default init (location_model.py:10-18)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            kernel_init=torch_default_weight,
+            bias_init=torch_default_bias(fan_in),
+        )(x)

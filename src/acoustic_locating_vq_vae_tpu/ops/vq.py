@@ -1,0 +1,138 @@
+"""Vector quantizer (reference: vq_vae/vector_quantizer.py:8-58).
+
+Semantics reproduced exactly:
+
+* codebook (K, D) initialized U(-1/K, 1/K) (vector_quantizer.py:15-16)
+* nearest-codebook assignment via the ||x||^2 + ||e||^2 - 2 x e^T expansion
+  (vector_quantizer.py:34-36) — on TPU the x e^T term is one MXU matmul
+* loss = q_latent + beta * e_latent where q_latent trains the codebook by
+  gradient (NOT EMA, matching :48); with ``train_vq=False`` both terms are
+  gradient-stopped so the codebook freezes but the loss value is unchanged
+  (:26-27,47-50 ``set_train_vq``)
+* straight-through estimator ``x + sg(q - x)`` (:54)
+* perplexity = exp(entropy of batch code usage) (:55-56). Under a
+  data-parallel mesh the code-count mean is taken over the **global** batch
+  (XLA inserts the cross-chip reduction), matching single-device semantics
+  as required by SURVEY.md §5.8.
+
+An EMA codebook update (van den Oord appendix) is provided as an option the
+reference lacks; gradient mode stays the default for parity.
+
+The assignment core is factored as :func:`nearest_codebook` so the fused
+Pallas kernel (ops/vq_pallas.py) can drop in; set ``backend="pallas"``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+__all__ = ["VectorQuantizer", "nearest_codebook", "VQOutput"]
+
+
+def nearest_codebook(flat_x: jnp.ndarray, codebook: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-neighbor assignment: (N, D) x (K, D) -> (indices (N,), quantized (N, D)).
+
+    Differentiable in ``codebook`` through the gathered rows (exactly the
+    paths the reference's one-hot @ embedding matmul exposes); the argmin is
+    treated as locally constant.
+    """
+    x2 = jnp.sum(flat_x**2, axis=1, keepdims=True)  # (N, 1)
+    e2 = jnp.sum(codebook**2, axis=1)  # (K,)
+    cross = flat_x @ codebook.T  # (N, K) — MXU
+    distances = x2 + e2[None, :] - 2.0 * cross
+    indices = jnp.argmin(distances, axis=1)
+    quantized = jnp.take(codebook, indices, axis=0)
+    return indices, quantized
+
+
+class VQOutput(struct.PyTreeNode):
+    loss: jnp.ndarray
+    quantized: jnp.ndarray  # straight-through, input shape
+    perplexity: jnp.ndarray
+    encodings: jnp.ndarray  # one-hot (N, K), reference return layout
+    indices: jnp.ndarray  # (N,) code ids (extra, not in reference)
+
+
+class VectorQuantizer(nn.Module):
+    num_embeddings: int
+    embedding_dim: int
+    commitment_cost: float
+    backend: str = "xla"  # "xla" | "pallas"
+    ema: bool = False  # optional EMA codebook update (off = reference parity)
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5
+
+    def setup(self):
+        k = self.num_embeddings
+
+        def cb_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, minval=-1.0 / k, maxval=1.0 / k)
+
+        self.codebook = self.param(
+            "codebook", cb_init, (self.num_embeddings, self.embedding_dim)
+        )
+        if self.ema:
+            self.ema_counts = self.variable(
+                "vq_stats", "ema_counts", jnp.zeros, (self.num_embeddings,)
+            )
+            self.ema_sums = self.variable(
+                "vq_stats", "ema_sums", lambda s: jnp.zeros(s), (self.num_embeddings, self.embedding_dim)
+            )
+
+    def __call__(self, inputs: jnp.ndarray, train_vq: bool = True) -> VQOutput:
+        """``inputs``: (..., D) latents (channels last). Returns VQOutput whose
+        ``quantized`` has the input shape."""
+        input_shape = inputs.shape
+        flat = inputs.reshape(-1, self.embedding_dim)
+
+        if self.backend == "pallas":
+            from .vq_pallas import nearest_codebook_pallas
+
+            indices, quantized = nearest_codebook_pallas(flat, self.codebook)
+        else:
+            indices, quantized = nearest_codebook(flat, self.codebook)
+
+        e_latent_loss = jnp.mean((jax.lax.stop_gradient(quantized) - flat) ** 2)
+        if self.ema:
+            # EMA mode: codebook trained by statistics, not gradient.
+            q_latent_loss = jnp.asarray(0.0, flat.dtype)
+            if train_vq and not self.is_initializing():
+                one_hot = jax.nn.one_hot(indices, self.num_embeddings, dtype=flat.dtype)
+                counts = jnp.sum(one_hot, axis=0)
+                sums = one_hot.T @ jax.lax.stop_gradient(flat)
+                new_counts = self.ema_decay * self.ema_counts.value + (1 - self.ema_decay) * counts
+                new_sums = self.ema_decay * self.ema_sums.value + (1 - self.ema_decay) * sums
+                self.ema_counts.value = new_counts
+                self.ema_sums.value = new_sums
+        elif train_vq:
+            q_latent_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat)) ** 2)
+        else:
+            # Frozen codebook: same value, no gradient (vector_quantizer.py:50).
+            q_latent_loss = jax.lax.stop_gradient(
+                jnp.mean((quantized - flat) ** 2)
+            )
+        loss = q_latent_loss + self.commitment_cost * e_latent_loss
+
+        quantized = quantized.reshape(input_shape)
+        ste = inputs + jax.lax.stop_gradient(quantized - inputs)
+
+        # Global (all-shards) code-usage statistics.
+        counts = jnp.zeros(self.num_embeddings, flat.dtype).at[indices].add(1.0)
+        avg_probs = counts / flat.shape[0]
+        perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
+
+        encodings = jax.nn.one_hot(indices, self.num_embeddings, dtype=flat.dtype)
+        return VQOutput(
+            loss=loss, quantized=ste, perplexity=perplexity, encodings=encodings, indices=indices
+        )
+
+    def apply_ema_update(self, params_codebook, counts, sums):
+        """Codebook from EMA statistics: e_k = sums_k / counts_k (Laplace-smoothed)."""
+        n = jnp.sum(counts)
+        smoothed = (counts + self.ema_eps) / (n + self.num_embeddings * self.ema_eps) * n
+        return sums / smoothed[:, None]
