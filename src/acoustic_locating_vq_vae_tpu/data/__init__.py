@@ -1,0 +1,24 @@
+"""Data layer (L1 of the reference layer map): on-device synthesis pipeline,
+reference-interoperable disk datasets, collation, and speech sources."""
+
+from .collate import combine_arrays_with_min_dim, spec_dataset_preprocessing
+from .config import DatasetConfig
+from .dataset import InMemoryDataset, SpecsDataset, save_dataset, save_dataset_reference_format
+from .speech import load_librispeech, load_wav_dir, synthetic_speech_batch
+from .synth import SampleBatch, make_dataset, synthesize_batch
+
+__all__ = [
+    "combine_arrays_with_min_dim",
+    "spec_dataset_preprocessing",
+    "DatasetConfig",
+    "InMemoryDataset",
+    "SpecsDataset",
+    "save_dataset",
+    "save_dataset_reference_format",
+    "load_librispeech",
+    "load_wav_dir",
+    "synthetic_speech_batch",
+    "SampleBatch",
+    "make_dataset",
+    "synthesize_batch",
+]

@@ -1,0 +1,142 @@
+"""On-device synthetic data pipeline.
+
+Replaces the reference's offline serial CPU generator
+(scripts/genereate_dataset.py:54-103, the §3.1 hot loop: per-sample C++ RIR +
+scipy convolution + 2 STFTs, saved as pickles) with ONE jitted XLA program
+that produces a whole batch: sample angles, synthesize RIRs (image-source
+method on the MXU), convolve speech, STFT everything, and compute the
+rir-ratio / Wiener targets — all in device memory, no host round-trips.
+
+Per-sample math parity (genereate_dataset.py:12-51):
+    theta ~ U(-pi, pi);  source = receiver + (R cos, R sin, Z), clipped to room
+    h = ISM(...);  echoed = convolve(speech, h, 'same')
+    speech_spec, echoed_spec = STFT(speech), STFT(echoed)   [complex, normalized]
+    rir_spec   = speech_spec / (echoed_spec + 1e-8), max-normalized
+    wiener_est = |sum_t(echoed conj(speech)) / sum_t |speech|^2|^2
+    all specs -> power (|.|^2), truncated to 500 frames
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..dsp import (
+    fft_convolve,
+    generate_rir,
+    rir_spec_ratio,
+    source_coordinates,
+    spectrogram,
+    wiener_estimate,
+)
+from .config import DatasetConfig
+from .speech import synthetic_speech_batch
+
+__all__ = ["SampleBatch", "synthesize_batch", "make_dataset"]
+
+
+class SampleBatch(struct.PyTreeNode):
+    """The reference 6-tuple (specsdataset.py:31-36) as a pytree of power
+    spectrograms, truncated to the fixed 500-frame geometry."""
+
+    speech_spec: jnp.ndarray  # (B, F, T)
+    rir_spec: jnp.ndarray  # (B, F, T)
+    echoed_spec: jnp.ndarray  # (B, F, T)
+    fs: jnp.ndarray  # (B,)
+    theta: jnp.ndarray  # (B,)
+    wiener_est: jnp.ndarray  # (B, F)
+
+    def as_tuple(self):
+        return (self.speech_spec, self.rir_spec, self.echoed_spec, self.fs, self.theta, self.wiener_est)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "batch", "fixed_rir", "fixed_speech", "rir_chunk"),
+)
+def synthesize_batch(
+    key: jax.Array,
+    batch: int,
+    config: DatasetConfig = DatasetConfig(),
+    speech: Optional[jnp.ndarray] = None,
+    fixed_rir: bool = False,
+    fixed_speech: bool = False,
+    rir_chunk: int = 8192,
+) -> SampleBatch:
+    """Synthesize ``batch`` samples on device.
+
+    ``speech``: optional (batch, audio_samples) waveforms (a real corpus);
+    defaults to the synthetic source-filter generator. ``fixed_rir`` /
+    ``fixed_speech`` reproduce the reference's ablation modes
+    (genereate_dataset.py:12-16,32-35): every sample shares one RIR / one
+    utterance.
+    """
+    k_theta, k_speech = jax.random.split(key)
+
+    theta = jax.random.uniform(k_theta, (batch,), minval=-jnp.pi, maxval=jnp.pi)
+    if fixed_rir:
+        theta = jnp.broadcast_to(theta[:1], theta.shape)
+
+    receiver = jnp.asarray(config.receiver_position, jnp.float32)
+    room = jnp.asarray(config.room_dimensions, jnp.float32)
+    src = source_coordinates(theta, receiver, room, radius=config.R, z_loc=config.Z_LOC_SOURCE)
+
+    if speech is None:
+        speech = synthetic_speech_batch(k_speech, batch, config.audio_samples, config.fs)
+    if fixed_speech:
+        speech = jnp.broadcast_to(speech[:1], speech.shape)
+
+    rir_fn = functools.partial(
+        generate_rir,
+        receiver=receiver,
+        room=tuple(config.room_dimensions),
+        nsample=config.n_sample,
+        fs=float(config.fs),
+        c=config.c,
+        rt60=config.reverberation_time,
+        chunk=rir_chunk,
+    )
+    if fixed_rir:
+        h = jnp.broadcast_to(rir_fn(src[0])[None], (batch, config.n_sample))
+    else:
+        h = jax.vmap(rir_fn)(src)
+
+    echoed = fft_convolve(speech, h, mode="same")
+
+    stft_kw = dict(n_fft=config.NFFT, hop_length=config.HOP_LENGTH, power=None, normalized=True)
+    speech_spec = spectrogram(speech, **stft_kw)  # complex (B, F, T)
+    echoed_spec = spectrogram(echoed, **stft_kw)
+
+    rir_spec = jax.vmap(rir_spec_ratio)(speech_spec, echoed_spec)
+    wiener = wiener_estimate(speech_spec, echoed_spec)  # (B, F)
+
+    T = config.num_frames
+    return SampleBatch(
+        speech_spec=(jnp.abs(speech_spec) ** 2)[..., :T],
+        rir_spec=(jnp.abs(rir_spec) ** 2)[..., :T],
+        echoed_spec=(jnp.abs(echoed_spec) ** 2)[..., :T],
+        fs=jnp.full((batch,), config.fs, jnp.int32),
+        theta=theta,
+        wiener_est=wiener,
+    )
+
+
+def make_dataset(
+    key: jax.Array,
+    size: int,
+    config: DatasetConfig = DatasetConfig(),
+    batch: int = 32,
+    **kwargs,
+) -> SampleBatch:
+    """Generate a ``size``-sample dataset by concatenating jitted batches
+    (device-resident; ~1.2 MB/sample in f32)."""
+    batches = []
+    for i in range(0, size, batch):
+        key, sub = jax.random.split(key)
+        b = min(batch, size - i)
+        batches.append(synthesize_batch(sub, b, config, **kwargs))
+    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)

@@ -75,6 +75,10 @@ class EchoedSpeechReconModel(nn.Module):
         size_diff = speech_q.shape[2] - rir_q.shape[2]
         if size_diff > 0:  # right-pad RIR latent along time (:41-49)
             rir_q = jnp.pad(rir_q, ((0, 0), (0, 0), (0, size_diff)))
+        elif size_diff < 0:
+            # The reference would crash here (it only pads the RIR side);
+            # generalized to right-pad the shorter latent either way.
+            speech_q = jnp.pad(speech_q, ((0, 0), (0, 0), (0, -size_diff)))
 
         quantized = jnp.concatenate([speech_q, rir_q], axis=1)  # (B, D_s+D_r, L)
         if not train_encoder:

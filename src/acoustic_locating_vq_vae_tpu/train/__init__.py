@@ -1,0 +1,31 @@
+"""Training layer: the five stage task specs and the single generic
+mesh-sharded training loop (replacing the reference's per-script loops)."""
+
+from .loop import Trainer, TrainHistory, TrainState
+from .pipeline import run_pipeline, run_stage
+from .tasks import (
+    EchoedSpeechTask,
+    EncoderFinetuneTask,
+    LocationTask,
+    RirVQVAETask,
+    SpeechVQVAETask,
+    Task,
+    graft_pretrained,
+    make_task,
+)
+
+__all__ = [
+    "Trainer",
+    "TrainHistory",
+    "TrainState",
+    "run_pipeline",
+    "run_stage",
+    "EchoedSpeechTask",
+    "EncoderFinetuneTask",
+    "LocationTask",
+    "RirVQVAETask",
+    "SpeechVQVAETask",
+    "Task",
+    "graft_pretrained",
+    "make_task",
+]

@@ -1,0 +1,250 @@
+"""The single mesh-sharded training loop that runs every stage.
+
+Replaces the four copy-pasted reference script loops (train_speech.py:48-140,
+train_rir.py:23-117, train_echoed_speech.py:50-127, train_location.py:45-131)
+with one jitted step over a device mesh:
+
+  * the FULL dataset lives in device memory, batch-sharded over the ``data``
+    mesh axis; each step samples a fresh random batch on device (the
+    ``next(iter(loader))`` fresh-shuffle idiom, train_speech.py:57-61, with
+    zero host I/O);
+  * gradient and codebook-statistics reductions ride ICI — XLA inserts the
+    allreduces from the shardings (SURVEY.md §5.8);
+  * the reference's idiosyncratic cadence where every ``eval_every``-th step
+    is a validation step that REPLACES the training step (the model sees no
+    gradient that step, train_speech.py:57,76-87) is kept as the compat
+    default (``val_replaces_train=True``);
+  * Orbax checkpoints of (params, opt_state, step) on the reference's
+    1000-step cadence, plus stage-handoff publication (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.synth import SampleBatch
+from ..parallel.mesh import batch_sharding, local_mesh, replicated, shard_params
+from ..utils.checkpoint import StageStore
+from .tasks import LocationTask, Task
+
+__all__ = ["TrainState", "Trainer", "TrainHistory"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+class TrainHistory:
+    """Append-only metric history with reference-style running means
+    (print of mean over last 100, train_speech.py:96-103)."""
+
+    def __init__(self):
+        self.train: Dict[str, List] = {}
+        self.val: Dict[str, List] = {}
+
+    def append(self, metrics: Dict[str, jnp.ndarray], val: bool):
+        store = self.val if val else self.train
+        for k, v in metrics.items():
+            store.setdefault(k, []).append(v)
+
+    def running_mean(self, key: str, window: int = 100) -> float:
+        vals = self.train.get(key, [])
+        if not vals:
+            return float("nan")
+        return float(np.mean(jax.device_get(vals[-window:])))
+
+    def finalize(self) -> Dict[str, Dict[str, np.ndarray]]:
+        return {
+            "train": {k: np.asarray(jax.device_get(v)) for k, v in self.train.items()},
+            "val": {k: np.asarray(jax.device_get(v)) for k, v in self.val.items()},
+        }
+
+
+class Trainer:
+    """Generic trainer for a :class:`..train.tasks.Task`.
+
+    ``composite_params`` is required for :class:`LocationTask` (the frozen
+    composite that produces the VQ encodings, train_location.py:38,69)."""
+
+    def __init__(
+        self,
+        task: Task,
+        mesh=None,
+        model_parallel: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        log_every: int = 100,
+        val_replaces_train: bool = True,
+        composite_params: Any = None,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        verbose: bool = True,
+    ):
+        self.task = task
+        self.mesh = mesh if mesh is not None else local_mesh()
+        self.model_parallel = model_parallel
+        self.model = task.build_model()
+        # torch.optim.Adam defaults (amsgrad=False), train_speech.py:154.
+        self.optimizer = optimizer or optax.adam(task.learning_rate)
+        self.store = StageStore(checkpoint_dir) if checkpoint_dir else None
+        self.log_every = log_every
+        self.val_replaces_train = val_replaces_train
+        self.verbose = verbose
+
+        self.composite = None
+        self.composite_params = None
+        if isinstance(task, LocationTask):
+            if composite_params is None:
+                raise ValueError("LocationTask requires composite_params")
+            self.composite = task.build_composite()
+            self.composite_params = jax.device_put(composite_params, replicated(self.mesh))
+
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------ init
+
+    def _example_model_inputs(self, batch: SampleBatch) -> Tuple:
+        if isinstance(self.task, LocationTask):
+            enc = self.task.encodings_from_composite(
+                self.composite, self.composite_params, _take(batch, 1)
+            )
+            return (enc,)
+        return self.task.model_inputs(_take(batch, 1))
+
+    def init_state(self, key: jax.Array, example_batch: SampleBatch) -> TrainState:
+        k_params, k_jitter, k_loop = jax.random.split(key, 3)
+        inputs = self._example_model_inputs(example_batch)
+        rngs = {"params": k_params}
+        if "jitter" in self.task.rng_streams:
+            rngs["jitter"] = k_jitter
+        variables = jax.jit(functools.partial(self.model.init, rngs))(*inputs)
+        params = variables["params"]
+        params = shard_params(params, self.mesh, self.model_parallel)
+        opt_state = jax.device_put(self.optimizer.init(params), replicated(self.mesh))
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=k_loop)
+
+    # ------------------------------------------------------------------ step
+
+    def _loss(self, params, batch: SampleBatch, rngs: Dict, train: bool):
+        if isinstance(self.task, LocationTask):
+            enc = self.task.encodings_from_composite(self.composite, self.composite_params, batch)
+            return self.task.loss(self.model, params, batch, rngs, train, encodings=enc)
+        return self.task.loss(self.model, params, batch, rngs, train)
+
+    def _build_step(self):
+        batch_size = self.task.batch_size
+        data_sharding = batch_sharding(self.mesh)
+
+        def sample(data: SampleBatch, key, size: int) -> SampleBatch:
+            # A DataLoader with batch > len(dataset) just yields the whole
+            # set; clamp to match.
+            take_n = min(batch_size, size)
+            idx = jax.random.choice(key, size, (take_n,), replace=False)
+            picked = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
+            # Keep the gathered batch sharded over the data axis.
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+                ),
+                picked,
+            )
+
+        def step(state: TrainState, data: SampleBatch, dataset_size: int, is_train: bool):
+            rng, k_sample, k_jitter = jax.random.split(state.rng, 3)
+            batch = sample(data, k_sample, dataset_size)
+            rngs = {"jitter": k_jitter} if "jitter" in self.task.rng_streams else {}
+
+            if is_train:
+                (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                    state.params, batch, rngs, True
+                )
+                updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                new_state = state.replace(
+                    step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+                )
+            else:
+                loss, metrics = self._loss(state.params, batch, rngs, False)
+                new_state = state.replace(step=state.step + 1, rng=rng)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            return new_state, metrics
+
+        return jax.jit(step, static_argnums=(2, 3), donate_argnums=0)
+
+    # ------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        state: TrainState,
+        train_data: SampleBatch,
+        val_data: Optional[SampleBatch] = None,
+        num_updates: Optional[int] = None,
+    ) -> Tuple[TrainState, TrainHistory]:
+        num_updates = num_updates or self.task.num_updates
+        train_data = jax.device_put(train_data, batch_sharding(self.mesh))
+        n_train = int(train_data.speech_spec.shape[0])
+        if val_data is not None:
+            val_data = jax.device_put(val_data, batch_sharding(self.mesh))
+            n_val = int(val_data.speech_spec.shape[0])
+
+        history = TrainHistory()
+        t0 = time.time()
+        frames = 0
+        for i in range(num_updates):
+            is_val = (
+                val_data is not None
+                and self.val_replaces_train
+                and (i + 1) % self.task.eval_every == 0
+            )
+            if is_val:
+                state, metrics = self._step_fn(state, val_data, n_val, False)
+            else:
+                state, metrics = self._step_fn(state, train_data, n_train, True)
+                frames += self.task.batch_size * self.task.config.num_frames if hasattr(self.task, "config") else 0
+            history.append(metrics, val=is_val)
+
+            if self.verbose and (i + 1) % self.log_every == 0:
+                parts = [f"[{self.task.name}] {i + 1} iterations"]
+                for k in metrics:
+                    parts.append(f"{k}: {history.running_mean(k):.4f}")
+                dt = time.time() - t0
+                if frames:
+                    parts.append(f"({frames / dt:.0f} frames/s)")
+                print("  ".join(parts), flush=True)
+
+            if self.store and (i + 1) % self.task.ckpt_every == 0:
+                self.save_checkpoint(state, tag=f"{self.task.name}_{i + 1}")
+
+        jax.block_until_ready(state.params)
+        if self.store:
+            self.save_checkpoint(state, tag=self.task.name, final=True)
+        return state, history
+
+    # ----------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, state: TrainState, tag: str, final: bool = False):
+        step = int(jax.device_get(state.step))
+        self.store.save_stage(
+            tag,
+            {"params": state.params, "opt_state": state.opt_state},
+            step=step,
+            metadata={"task": self.task.name, "final": final},
+        )
+
+    def load_stage_params(self, name: str):
+        return self.store.load_stage(name)["params"]
+
+
+def _take(batch: SampleBatch, n: int) -> SampleBatch:
+    return jax.tree_util.tree_map(lambda a: a[:n], batch)

@@ -1,0 +1,311 @@
+"""The five training-stage task specs (BASELINE.json configs).
+
+Each reference entry-point script hard-wired its own loop, normalization,
+permutes, and loss (SURVEY.md §3.2-3.5). Here each stage is a declarative
+``Task``: model factory + per-batch wiring + loss. One generic mesh-sharded
+loop (train/loop.py) runs them all.
+
+Stage hyperparameters are the reference's:
+  speech   train_speech.py:24-44   B=32 lr=1e-3 15k  H=1024 L=3 RH=1024 D=128 K=1024 jitter
+  rir      train_rir.py:120-137    B=32 lr=1e-3 15k  in=500 H=1024 L=2 RH=64  D=64  K=1024 out=1
+  echoed   train_echoed_speech.py:21-31  B=64 lr=1e-3 15k  H=1024 L=2 RH=1024 jitter
+  finetune encoder_training_echoed_model.py:22-28  B=64 lr=1e-5 5k (train_encoder=True)
+  location train_location.py:22-27,39  B=16 lr=1e-3 15k  MLP(201,1024,1), target theta/pi
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from ..data.config import DatasetConfig
+from ..data.synth import SampleBatch
+from ..dsp import znorm
+from ..models import ConvolutionalVQVAE, EchoedSpeechReconModel, LocationModule
+
+__all__ = [
+    "Task",
+    "SpeechVQVAETask",
+    "RirVQVAETask",
+    "EchoedSpeechTask",
+    "EncoderFinetuneTask",
+    "LocationTask",
+    "make_task",
+    "graft_pretrained",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Task:
+    """A training stage: model + batch wiring + loss."""
+
+    name: str
+    learning_rate: float
+    batch_size: int
+    num_updates: int
+    eval_every: int = 500  # reference's n_samples_test_on_validation_set
+    ckpt_every: int = 1000
+
+    def build_model(self) -> nn.Module:
+        raise NotImplementedError
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        """Positional model inputs extracted from a SampleBatch."""
+        raise NotImplementedError
+
+    def loss(
+        self, model: nn.Module, params, batch: SampleBatch, rngs: Dict, train: bool
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        raise NotImplementedError
+
+    @property
+    def rng_streams(self) -> Tuple[str, ...]:
+        return ("jitter",)
+
+
+def _scale(v: int, width_scale: float, floor: int = 4) -> int:
+    return max(floor, int(v * width_scale))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeechVQVAETask(Task):
+    """Clean-speech power-spectrogram reconstruction (train_speech.py)."""
+
+    name: str = "speech"
+    learning_rate: float = 1e-3
+    batch_size: int = 32
+    num_updates: int = 15000
+    config: DatasetConfig = DatasetConfig()
+    width_scale: float = 1.0  # <1 for smoke/test configs
+    vq_backend: str = "xla"
+
+    def build_model(self) -> ConvolutionalVQVAE:
+        s = lambda v: _scale(v, self.width_scale)
+        return ConvolutionalVQVAE(
+            in_channels=self.config.num_freq,
+            num_hiddens=s(1024),
+            embedding_dim=s(128),
+            num_residual_layers=3,
+            num_residual_hiddens=s(1024),
+            commitment_cost=0.25,
+            num_embeddings=s(1024),
+            use_jitter=True,
+            vq_backend=self.vq_backend,
+        )
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        # abs + z-norm over the freq dim (train_speech.py:63-64)
+        x = znorm(jnp.abs(batch.speech_spec), axis=1)
+        return (x,)
+
+    def loss(self, model, params, batch, rngs, train):
+        (x,) = self.model_inputs(batch)
+        vq_loss, recon, perplexity = model.apply(
+            {"params": params}, x, train=train, rngs=rngs
+        )
+        recon = recon[..., : x.shape[-1]]  # trim guard (train_speech.py:70-72)
+        recon_error = jnp.mean((recon - x) ** 2)
+        loss = recon_error + vq_loss  # train_speech.py:88
+        return loss, {"recon_error": recon_error, "vq_loss": vq_loss, "perplexity": perplexity}
+
+
+@dataclasses.dataclass(frozen=True)
+class RirVQVAETask(Task):
+    """RIR VQ-VAE: transposed spectrogram in, Wiener estimate out (train_rir.py)."""
+
+    name: str = "rir"
+    learning_rate: float = 1e-3
+    batch_size: int = 32
+    num_updates: int = 15000
+    config: DatasetConfig = DatasetConfig()
+    width_scale: float = 1.0
+    vq_backend: str = "xla"
+
+    def build_model(self) -> ConvolutionalVQVAE:
+        s = lambda v: _scale(v, self.width_scale)
+        return ConvolutionalVQVAE(
+            in_channels=self.config.num_frames,  # 500 time-frames-as-channels (train_rir.py:125)
+            num_hiddens=s(1024),
+            embedding_dim=s(64),
+            num_residual_layers=2,
+            num_residual_hiddens=s(64),
+            commitment_cost=0.25,
+            num_embeddings=s(1024),
+            use_jitter=False,
+            out_channels=1,
+            vq_backend=self.vq_backend,
+        )
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        # z-norm over dim 1 THEN permute (B,F,T)->(B,T,F) (train_rir.py:44-45)
+        x = znorm(batch.rir_spec, axis=1)
+        return (jnp.swapaxes(x, 1, 2),)
+
+    def loss(self, model, params, batch, rngs, train):
+        (x,) = self.model_inputs(batch)
+        target = znorm(batch.wiener_est, axis=1)[:, None, :]  # (B,1,F) (train_rir.py:46-49)
+        vq_loss, recon, perplexity = model.apply(
+            {"params": params}, x, train=train, rngs=rngs
+        )
+        recon = recon[..., : target.shape[-1]]  # trim guard (train_rir.py:54-58)
+        recon_error = jnp.mean((recon - target) ** 2)
+        loss = recon_error + vq_loss  # train_rir.py:72
+        return loss, {"recon_error": recon_error, "vq_loss": vq_loss, "perplexity": perplexity}
+
+
+def _echoed_model(config: DatasetConfig, width_scale: float, vq_backend: str):
+    s = lambda v: _scale(v, width_scale)
+    rir_model = ConvolutionalVQVAE(
+        in_channels=config.num_frames, num_hiddens=s(1024), embedding_dim=s(64),
+        num_residual_layers=2, num_residual_hiddens=s(64), commitment_cost=0.25,
+        num_embeddings=s(1024), use_jitter=False, out_channels=1, vq_backend=vq_backend,
+    )
+    speech_model = ConvolutionalVQVAE(
+        in_channels=config.num_freq, num_hiddens=s(1024), embedding_dim=s(128),
+        num_residual_layers=3, num_residual_hiddens=s(1024), commitment_cost=0.25,
+        num_embeddings=s(1024), use_jitter=True, vq_backend=vq_backend,
+    )
+    # Composite decoder config: train_echoed_speech.py:23-27 (H=1024, 2 res
+    # layers, res-H=1024, jitter on; out_channels = spectrogram freq bins).
+    return EchoedSpeechReconModel(
+        rir_model=rir_model,
+        speech_model=speech_model,
+        out_channels=config.num_freq,
+        num_hiddens=s(1024),
+        num_residual_layers=2,
+        num_residual_hiddens=s(1024),
+        use_jitter=True,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class EchoedSpeechTask(Task):
+    """Frozen-encoder composite: train the fresh decoder to reconstruct the
+    echoed spectrogram (train_echoed_speech.py)."""
+
+    name: str = "echoed"
+    learning_rate: float = 1e-3
+    batch_size: int = 64
+    num_updates: int = 15000
+    config: DatasetConfig = DatasetConfig()
+    width_scale: float = 1.0
+    vq_backend: str = "xla"
+    train_encoder: bool = False
+
+    def build_model(self) -> EchoedSpeechReconModel:
+        return _echoed_model(self.config, self.width_scale, self.vq_backend)
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        x = znorm(batch.echoed_spec, axis=1)  # train_echoed_speech.py:64
+        return x, jnp.swapaxes(x, 1, 2)
+
+    def loss(self, model, params, batch, rngs, train):
+        x, x_rir = self.model_inputs(batch)
+        recon, speech_perp, rir_perp = model.apply(
+            {"params": params}, x, x_rir, train=train,
+            train_encoder=self.train_encoder, rngs=rngs,
+        )
+        recon = recon[..., : x.shape[-1]]
+        recon_error = jnp.mean((recon - x) ** 2)
+        # loss = recon only (train_echoed_speech.py:89); VQ/codebooks frozen
+        return recon_error, {
+            "recon_error": recon_error,
+            "speech_perplexity": speech_perp,
+            "rir_perplexity": rir_perp,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderFinetuneTask(EchoedSpeechTask):
+    """Phase 2: unfreeze encoders at lr=1e-5 (encoder_training_echoed_model.py)."""
+
+    name: str = "finetune"
+    learning_rate: float = 1e-5
+    num_updates: int = 5000
+    train_encoder: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LocationTask(Task):
+    """Angle regression from RIR-branch one-hot encodings (train_location.py)."""
+
+    name: str = "location"
+    learning_rate: float = 1e-3
+    batch_size: int = 16
+    num_updates: int = 15000
+    config: DatasetConfig = DatasetConfig()
+    width_scale: float = 1.0
+    vq_backend: str = "xla"
+    output_dim: int = 1
+
+    def build_model(self) -> LocationModule:
+        # LocationModule(201, 1024, 1) (train_location.py:39): flattens
+        # (B, F, K) one-hot encodings.
+        return LocationModule(
+            encoder_output_dim=self.config.num_freq,
+            num_hiddens=_scale(1024, self.width_scale),
+            output_dim=self.output_dim,
+        )
+
+    def build_composite(self) -> EchoedSpeechReconModel:
+        return _echoed_model(self.config, self.width_scale, self.vq_backend)
+
+    def encodings_from_composite(self, composite, composite_params, batch: SampleBatch):
+        """Frozen RIR-branch one-hot encodings, reshaped (B, F, K)
+        (train_location.py:63-74)."""
+        x = znorm(batch.echoed_spec, axis=1)
+        x_trans = jnp.swapaxes(x, 1, 2)
+        _, q, _, enc = composite.rir_model.apply(
+            {"params": composite_params["rir_model"]},
+            x_trans,
+            method=composite.rir_model.get_latent_representation,
+        )
+        enc = enc.reshape(q.shape[0], self.config.num_freq, -1)
+        return jax.lax.stop_gradient(enc)
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        raise RuntimeError("LocationTask needs composite encodings; use loss()")
+
+    def loss(self, model, params, batch, rngs, train, encodings=None):
+        assert encodings is not None, "pass precomputed encodings"
+        pred = model.apply({"params": params}, encodings)
+        target = (batch.theta.reshape(-1, 1) / jnp.pi).astype(pred.dtype)
+        loss = jnp.mean((pred - target) ** 2)  # train_location.py:77-78
+        return loss, {"location_error": loss}
+
+    @property
+    def rng_streams(self) -> Tuple[str, ...]:
+        return ()
+
+
+def graft_pretrained(composite_params, speech_params=None, rir_params=None):
+    """Stage handoff: insert pretrained VQ-VAE parameter trees into a freshly
+    initialized composite — the functional equivalent of the reference's
+    whole-module pickle loading (train_echoed_speech.py:18-19)."""
+    p = unfreeze(composite_params) if hasattr(composite_params, "unfreeze") else dict(composite_params)
+    # Copy the grafted trees: the next stage's jitted step donates its
+    # TrainState, which would otherwise invalidate the donor stage's params.
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+    if speech_params is not None:
+        p["speech_model"] = copy(speech_params)
+    if rir_params is not None:
+        p["rir_model"] = copy(rir_params)
+    return p
+
+
+_TASKS = {
+    "speech": SpeechVQVAETask,
+    "rir": RirVQVAETask,
+    "echoed": EchoedSpeechTask,
+    "finetune": EncoderFinetuneTask,
+    "location": LocationTask,
+}
+
+
+def make_task(name: str, **kwargs) -> Task:
+    return _TASKS[name](**kwargs)

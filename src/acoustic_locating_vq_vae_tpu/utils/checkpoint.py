@@ -1,0 +1,79 @@
+"""Checkpointing via Orbax.
+
+Replaces the reference's whole-module ``torch.save(model, path)`` pickles
+(train_speech.py:117-118 etc., SURVEY.md §5.4) with Orbax checkpoints of
+(params, opt_state, step), plus a **stage store** that preserves the
+reference's inter-stage handoff semantics: the speech and rir stages publish
+their params, the echoed stage grafts them into the composite
+(train_echoed_speech.py:18-19), the location stage reads the composite
+(train_location.py:38).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_pytree", "load_pytree", "StageStore"]
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str, template: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
+
+
+class StageStore:
+    """Named parameter trees + manifest, the inter-stage checkpoint API."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self.manifest_path = os.path.join(self.root, "manifest.json")
+
+    def _manifest(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def save_stage(self, name: str, params: Any, step: int = 0, metadata: Optional[dict] = None):
+        path = os.path.join(self.root, "stages", name)
+        save_pytree(path, params)
+        m = self._manifest()
+        m[name] = {
+            "path": path,
+            "step": int(step),
+            "time": time.time(),
+            "metadata": metadata or {},
+        }
+        with open(self.manifest_path, "w") as f:
+            json.dump(m, f, indent=2)
+        return path
+
+    def load_stage(self, name: str, template: Optional[Any] = None) -> Any:
+        m = self._manifest()
+        if name not in m:
+            raise KeyError(f"stage {name!r} not in {self.manifest_path}; have {list(m)}")
+        return load_pytree(m[name]["path"], template)
+
+    def has_stage(self, name: str) -> bool:
+        return name in self._manifest()
+
+    def stages(self) -> dict:
+        return self._manifest()

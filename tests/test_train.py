@@ -1,0 +1,154 @@
+"""Training-loop tests: each stage learns, the multi-stage pipeline hands
+parameters off correctly, validation cadence matches the reference quirk,
+checkpoints round-trip, and everything runs sharded over the 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acoustic_locating_vq_vae_tpu import data as D
+from acoustic_locating_vq_vae_tpu.parallel import make_mesh
+from acoustic_locating_vq_vae_tpu.train import (
+    EchoedSpeechTask,
+    LocationTask,
+    RirVQVAETask,
+    SpeechVQVAETask,
+    Trainer,
+    graft_pretrained,
+    run_pipeline,
+)
+from acoustic_locating_vq_vae_tpu.utils import StageStore, load_pytree, save_pytree
+
+SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+WS = 1 / 32  # width scale: H=32, D=4, K=32
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    train = D.make_dataset(jax.random.PRNGKey(0), 32, SMALL, batch=16, rir_chunk=2048)
+    val = D.make_dataset(jax.random.PRNGKey(1), 16, SMALL, batch=16, rir_chunk=2048)
+    return train, val
+
+
+def test_speech_task_learns(datasets):
+    train, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, eval_every=10)
+    tr = Trainer(task, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(2), train)
+    st, hist = tr.fit(st, train, val, num_updates=30)
+    f = hist.finalize()
+    assert f["train"]["recon_error"][-1] < f["train"]["recon_error"][0]
+    assert f["train"]["perplexity"][-1] > 1.0
+    # val-replaces-train: 3 val entries at steps 10/20/30, 27 train entries
+    assert len(f["val"]["recon_error"]) == 3
+    assert len(f["train"]["recon_error"]) == 27
+    assert int(jax.device_get(st.step)) == 30
+
+
+def test_rir_task_reconstructs_wiener(datasets):
+    train, val = datasets
+    task = RirVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(3), train)
+    st, hist = tr.fit(st, train, val, num_updates=20)
+    f = hist.finalize()
+    assert f["train"]["recon_error"][-1] < f["train"]["recon_error"][0]
+
+
+def test_data_parallel_mesh_runs(datasets):
+    train, val = datasets
+    mesh = make_mesh(data=8)
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, mesh=mesh, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(2), train)
+    st, hist = tr.fit(st, train, val, num_updates=10)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["loss"]).all()
+    assert f["train"]["recon_error"][-1] < 1.2
+
+
+def test_model_parallel_mesh_runs(datasets):
+    """2-D (data x model) mesh: large kernels sharded per sharding_rules."""
+    train, val = datasets
+    mesh = make_mesh(data=4, model=2)
+    # width 1/2 keeps K=512, H=512 — divisible by the model axis.
+    task = SpeechVQVAETask(config=SMALL, width_scale=0.5, batch_size=8)
+    tr = Trainer(task, mesh=mesh, model_parallel=True, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(2), train)
+    st, hist = tr.fit(st, train, val, num_updates=4)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["loss"]).all()
+    # codebook actually sharded over the model axis
+    cb = st.params["_vq"]["codebook"]
+    spec = cb.sharding.spec
+    assert spec[0] == "model"
+
+
+def test_full_pipeline_with_handoff(tmp_path, datasets):
+    train, val = datasets
+    res = run_pipeline(
+        jax.random.PRNGKey(7), train, val, store_dir=str(tmp_path), config=SMALL,
+        width_scale=WS, mesh=make_mesh(data=8), verbose=False,
+        updates=dict(speech=10, rir=10, echoed=10, finetune=4, location=16),
+    )
+    assert set(res) == {"speech", "rir", "echoed", "finetune", "location"}
+    # the composite really contains the pretrained speech codebook
+    speech_cb = np.asarray(res["speech"][0]["_vq"]["codebook"])
+    # echoed stage freezes codebooks -> composite's speech codebook unchanged
+    comp_cb = np.asarray(res["echoed"][0]["speech_model"]["_vq"]["codebook"])
+    np.testing.assert_array_equal(speech_cb, comp_cb)
+    # location learns something
+    f = res["location"][1].finalize()
+    assert f["train"]["location_error"][-1] < f["train"]["location_error"][0]
+    # stage store has all checkpoints
+    store = StageStore(str(tmp_path))
+    assert store.has_stage("speech") and store.has_stage("location")
+
+
+def test_echoed_graft_uses_pretrained(datasets):
+    train, val = datasets
+    task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(4), train)
+    fake_speech = jax.tree_util.tree_map(jnp.ones_like, st.params["speech_model"])
+    grafted = graft_pretrained(st.params, speech_params=fake_speech)
+    assert float(jnp.min(grafted["speech_model"]["_vq"]["codebook"])) == 1.0
+    # other subtrees untouched
+    np.testing.assert_array_equal(
+        np.asarray(grafted["rir_model"]["_vq"]["codebook"]),
+        np.asarray(st.params["rir_model"]["_vq"]["codebook"]),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path, datasets):
+    train, _ = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(5), train)
+    save_pytree(str(tmp_path / "ck"), {"params": st.params})
+    loaded = load_pytree(str(tmp_path / "ck"), {"params": st.params})
+    a = jax.tree_util.tree_leaves(loaded["params"])
+    b = jax.tree_util.tree_leaves(st.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_from_checkpoint_continues(tmp_path, datasets):
+    train, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, checkpoint_dir=str(tmp_path), log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(6), train)
+    st, _ = tr.fit(st, train, val, num_updates=5)
+    # restore params from the final stage checkpoint and keep training
+    restored = tr.load_stage_params("speech")
+    st2 = tr.init_state(jax.random.PRNGKey(8), train)
+    st2 = st2.replace(params=restored, opt_state=tr.optimizer.init(restored))
+    st2, hist = tr.fit(st2, train, val, num_updates=5)
+    assert np.isfinite(hist.finalize()["train"]["loss"]).all()
+
+
+def test_location_task_requires_composite(datasets):
+    with pytest.raises(ValueError):
+        Trainer(LocationTask(config=SMALL, width_scale=WS), verbose=False)
