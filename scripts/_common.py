@@ -1,0 +1,88 @@
+"""Shared CLI plumbing for the entry-point scripts.
+
+The reference hard-codes hyperparameters at module level in each script and
+has them drift apart (SURVEY.md §5.6); here every script shares one argparse
+surface and one data-loading path. The reference defaults are the argparse
+defaults, so ``python scripts/train_speech.py`` reproduces
+``python scripts/train_speech.py`` of the reference (modulo corpus)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data-dir", default=None, help="SpecsDataset dir (.pt/.npz); default: synthesize on device")
+    p.add_argument("--val-dir", default=None, help="validation SpecsDataset dir")
+    p.add_argument("--store-dir", default="checkpoints", help="stage store / checkpoint root")
+    p.add_argument("--updates", type=int, default=None, help="override number of training updates")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dataset-size", type=int, default=1000, help="synthetic dataset size (genereate_dataset.py:62)")
+    p.add_argument("--val-size", type=int, default=200)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1 = all devices)")
+    p.add_argument("--mesh-model", type=int, default=1, help="model-parallel axis size")
+    p.add_argument("--model-parallel", action="store_true", help="shard large params over the model axis")
+    p.add_argument("--vq-backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
+    p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    return p
+
+
+def setup(args):
+    """Configure jax, build mesh + dataset config, load or synthesize data."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.parallel import make_mesh
+
+    if args.smoke:
+        config = D.DatasetConfig(
+            n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32
+        )
+        args.dataset_size = min(args.dataset_size, 64)
+        args.val_size = min(args.val_size, 32)
+        if args.updates is None:
+            args.updates = 20
+    else:
+        config = D.DatasetConfig()
+
+    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+
+    key = jax.random.PRNGKey(args.seed)
+    k_train, k_val = jax.random.split(key)
+    if args.data_dir:
+        ds = D.SpecsDataset(args.data_dir)
+        config = ds.config
+        train = ds.load_all()
+    else:
+        train = D.make_dataset(k_train, args.dataset_size, config)
+    if args.val_dir:
+        val = D.SpecsDataset(args.val_dir).load_all()
+    elif args.val_size > 0:
+        val = D.make_dataset(k_val, args.val_size, config)
+    else:
+        val = None
+    return config, mesh, train, val
+
+
+def task_kwargs(args, config):
+    kw = dict(config=config, vq_backend=args.vq_backend)
+    if args.smoke:
+        kw["width_scale"] = 1 / 16
+    if args.batch_size:
+        kw["batch_size"] = args.batch_size
+    return kw
+
+
+def trainer_kwargs(args):
+    return dict(log_every=args.log_every, model_parallel=args.model_parallel)

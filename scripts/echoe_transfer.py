@@ -1,0 +1,50 @@
+"""t-SNE latent analysis — reference scripts/echoe_transfer.py (C23): embed
+the RIR-branch VQ encodings of a trained composite in 2-D and check they
+organize by source angle. Writes the embedding + angles to an .npz (and a
+PNG when matplotlib is available) instead of blocking on plt.show()."""
+
+import numpy as np
+
+from _common import base_parser, setup, task_kwargs
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--out", default="tsne_rir.npz")
+    p.add_argument("--stage", default=None, help="composite stage (default finetune|echoed)")
+    args = p.parse_args()
+    config, mesh, train, val = setup(args)
+    data = val if val is not None else train
+
+    from acoustic_locating_vq_vae_tpu.eval import tsne_rir_embedding
+    from acoustic_locating_vq_vae_tpu.train import LocationTask
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    store = StageStore(args.store_dir)
+    stage = args.stage or ("finetune" if store.has_stage("finetune") else "echoed")
+    composite_params = store.load_stage(stage)["params"]
+
+    task = LocationTask(**task_kwargs(args, config))
+    emb, theta = tsne_rir_embedding(task, composite_params, data)
+    np.savez(args.out, embedding=emb, theta=theta)
+    print(f"t-SNE of {emb.shape[0]} RIR encodings written to {args.out}")
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        fig, ax = plt.subplots()
+        sc = ax.scatter(emb[:, 0], emb[:, 1], c=theta, cmap="hsv", s=8)
+        fig.colorbar(sc, label="theta [rad]")
+        ax.set_title(f"t-SNE of RIR VQ encodings ({stage})")
+        png = args.out.rsplit(".", 1)[0] + ".png"
+        fig.savefig(png, dpi=120)
+        print(f"plot written to {png}")
+    except Exception as e:  # matplotlib optional
+        print(f"(no plot: {e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""Fine-tune the composite's encoders (stage 4) — reference
+scripts/encoder_training_echoed_model.py: reload the echoed composite,
+unfreeze encoders (codebooks stay frozen), lr=1e-5, 5000 updates."""
+
+from _common import base_parser, setup, task_kwargs, trainer_kwargs
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    config, mesh, train, val = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.train import EncoderFinetuneTask, Trainer
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    store = StageStore(args.store_dir)
+    task = EncoderFinetuneTask(**task_kwargs(args, config))
+    trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
+    state = trainer.init_state(jax.random.PRNGKey(args.seed + 4), train)
+
+    if store.has_stage("echoed"):
+        params = store.load_stage("echoed")["params"]
+        state = state.replace(params=params, opt_state=trainer.optimizer.init(params))
+    else:
+        print("WARNING: no 'echoed' stage in store; fine-tuning a fresh composite")
+
+    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    f = history.finalize()
+    print(
+        f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}; "
+        f"stage 'finetune' saved to {args.store_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

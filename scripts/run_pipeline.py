@@ -1,0 +1,37 @@
+"""Run the full five-stage pipeline end to end (BASELINE.json config #5):
+dataset synthesis -> speech + rir VQ-VAEs -> echoed composite -> encoder
+fine-tune -> location regressor, with stage handoff through the store."""
+
+import json
+
+from _common import base_parser, setup, trainer_kwargs
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--width-scale", type=float, default=1.0)
+    args = p.parse_args()
+    config, mesh, train, val = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.eval import evaluate_location
+    from acoustic_locating_vq_vae_tpu.train import LocationTask, run_pipeline
+
+    width = 1 / 16 if args.smoke else args.width_scale
+    updates = {k: args.updates for k in ("speech", "rir", "echoed", "finetune", "location")} if args.updates else None
+    res = run_pipeline(
+        jax.random.PRNGKey(args.seed), train, val, store_dir=args.store_dir,
+        config=config, width_scale=width, updates=updates, mesh=mesh,
+        vq_backend=args.vq_backend, **trainer_kwargs(args),
+    )
+
+    task = LocationTask(config=config, width_scale=width, vq_backend=args.vq_backend)
+    metrics = evaluate_location(
+        task, res["location"][0], res["finetune"][0], val if val is not None else train
+    )
+    print("final location evaluation:", json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Train the location regressor (stage 5) — reference scripts/train_location.py:
+MLP over frozen RIR-branch VQ encodings predicting theta/pi."""
+
+from _common import base_parser, setup, task_kwargs, trainer_kwargs
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument(
+        "--composite-stage", default=None,
+        help="stage name of the composite to read latents from (default: finetune if present, else echoed)",
+    )
+    args = p.parse_args()
+    config, mesh, train, val = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.train import LocationTask, Trainer
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    store = StageStore(args.store_dir)
+    stage = args.composite_stage or ("finetune" if store.has_stage("finetune") else "echoed")
+    composite_params = store.load_stage(stage)["params"]
+    print(f"using composite from stage {stage!r}")
+
+    task = LocationTask(**task_kwargs(args, config))
+    trainer = Trainer(
+        task, mesh=mesh, checkpoint_dir=args.store_dir,
+        composite_params=composite_params, **trainer_kwargs(args),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    f = history.finalize()
+    print(
+        f"done: final location MSE {f['train']['location_error'][-100:].mean():.5f} "
+        f"(target theta/pi); stage 'location' saved to {args.store_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

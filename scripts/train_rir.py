@@ -1,0 +1,27 @@
+"""Train the RIR VQ-VAE (stage 2) — reference scripts/train_rir.py."""
+
+from _common import base_parser, setup, task_kwargs, trainer_kwargs
+
+
+def main():
+    args = base_parser(__doc__).parse_args()
+    config, mesh, train, val = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.train import RirVQVAETask, Trainer
+
+    task = RirVQVAETask(**task_kwargs(args, config))
+    trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
+    state = trainer.init_state(jax.random.PRNGKey(args.seed + 2), train)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    f = history.finalize()
+    print(
+        f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}, "
+        f"perplexity {f['train']['perplexity'][-100:].mean():.1f}; "
+        f"stage 'rir' saved to {args.store_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

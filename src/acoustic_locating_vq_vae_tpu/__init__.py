@@ -21,6 +21,16 @@ utils     checkpointing (Orbax), config, profiling, visualization
 
 __version__ = "0.1.0"
 
-from . import dsp
+from . import data, dsp, eval, models, ops, parallel, train, utils
 
-__all__ = ["dsp", "__version__"]
+__all__ = [
+    "data",
+    "dsp",
+    "eval",
+    "models",
+    "ops",
+    "parallel",
+    "train",
+    "utils",
+    "__version__",
+]

@@ -34,7 +34,8 @@ class DatasetConfig:
         return self.NFFT // 2 + 1  # 201
 
     def to_reference_dict(self) -> dict:
-        """The exact dict layout of dataset_config.npy (genereate_dataset.py:78-88)."""
+        """The exact dict layout of dataset_config.npy (genereate_dataset.py:78-88),
+        plus framework extras under keys the reference never reads."""
         return {
             "fs": int(self.fs),
             "receiver_position": list(self.receiver_position),
@@ -45,10 +46,18 @@ class DatasetConfig:
             "NFFT": int(self.NFFT),
             "HOP_LENGTH": int(self.HOP_LENGTH),
             "Z_LOC_SOURCE": self.Z_LOC_SOURCE,
+            # extras (ignored by the reference's SpecsDataset):
+            "num_frames": int(self.num_frames),
+            "audio_samples": int(self.audio_samples),
+            "c": self.c,
         }
 
     @classmethod
     def from_reference_dict(cls, d: dict, **extras) -> "DatasetConfig":
+        casts = {"num_frames": int, "audio_samples": int, "c": float}
+        for key, cast in casts.items():
+            if key in d and key not in extras:
+                extras[key] = cast(d[key])
         return cls(
             fs=int(d["fs"]),
             receiver_position=tuple(d["receiver_position"]),

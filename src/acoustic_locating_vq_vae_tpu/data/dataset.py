@@ -135,6 +135,11 @@ class SpecsDataset:
         items = [self[i] for i in range(len(self))]
         t = num_frames if num_frames is not None else self.config.num_frames
         stacked = spec_dataset_preprocessing(items, num_frames=t)
+        if not isinstance(stacked[0], np.ndarray):
+            raise ValueError(
+                f"every sample in {self.root_dir} has fewer than {t} time frames; "
+                "pass num_frames= explicitly or fix dataset_config"
+            )
         return SampleBatch(
             speech_spec=jnp.asarray(stacked[0]),
             rir_spec=jnp.asarray(stacked[1]),

@@ -1,0 +1,108 @@
+"""Location-model evaluation and comparison.
+
+Implements the evident intent of the reference's broken
+``compare_location_models.py`` (C21, SURVEY.md §2: undefined ``loss_list``,
+wrong tuple unpack, never-invoked test fn): evaluate one or more
+(composite, location-MLP) pairs on a dataset, reporting
+
+  * MSE / RMSE on the normalized angle theta/pi (the training target,
+    train_location.py:77-78),
+  * RMSE in radians,
+  * RMSE on the 3-D source coordinates derived via ``get_source_coordinates``
+    (specsdataset.py:38-45 — what compare_location_models.py:31 evaluated
+    against).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.config import DatasetConfig
+from ..data.synth import SampleBatch
+from ..dsp import source_coordinates, znorm
+from ..train.tasks import LocationTask
+
+__all__ = ["evaluate_location", "compare_location_models"]
+
+
+def evaluate_location(
+    task: LocationTask,
+    location_params: Any,
+    composite_params: Any,
+    batch: SampleBatch,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """Evaluate one location model over a SampleBatch."""
+    composite = task.build_composite()
+    model = task.build_model()
+    cfg = task.config
+
+    @jax.jit
+    def predict(loc_p, comp_p, b: SampleBatch):
+        enc = task.encodings_from_composite(composite, comp_p, b)
+        return model.apply({"params": loc_p}, enc)  # (B, output_dim)
+
+    n = int(batch.speech_spec.shape[0])
+    preds = []
+    for i in range(0, n, batch_size):
+        sub = jax.tree_util.tree_map(lambda a: a[i : i + batch_size], batch)
+        preds.append(np.asarray(predict(location_params, composite_params, sub)))
+    pred = np.concatenate(preds, axis=0)  # normalized theta/pi (or coords)
+
+    theta_true = np.asarray(batch.theta).reshape(-1)
+    receiver = jnp.asarray(cfg.receiver_position)
+    room = jnp.asarray(cfg.room_dimensions)
+
+    if task.output_dim == 1:
+        theta_pred = pred.reshape(-1) * np.pi
+        err_norm = pred.reshape(-1) - theta_true / np.pi
+        # wrap-aware angular error in radians
+        ang = np.angle(np.exp(1j * (theta_pred - theta_true)))
+        coords_true = np.asarray(
+            source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        )
+        coords_pred = np.asarray(
+            source_coordinates(jnp.asarray(theta_pred), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        )
+        return {
+            "mse_theta_over_pi": float(np.mean(err_norm**2)),
+            "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm**2))),
+            "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+            "rmse_coordinates_m": float(
+                np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
+            ),
+            "num_samples": int(n),
+        }
+    # 3-D coordinate regression variant
+    coords_true = np.asarray(
+        source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+    )
+    return {
+        "rmse_coordinates_m": float(
+            np.sqrt(np.mean(np.sum((pred - coords_true) ** 2, axis=1)))
+        ),
+        "num_samples": int(n),
+    }
+
+
+def compare_location_models(
+    entries: Dict[str, Dict[str, Any]],
+    batch: SampleBatch,
+    task: Optional[LocationTask] = None,
+) -> Dict[str, Dict[str, float]]:
+    """Compare named models, e.g. frozen-encoder vs fine-tuned composite
+    (the reference script's purpose). ``entries[name]`` holds
+    ``{"location_params", "composite_params", "task"?}``."""
+    out = {}
+    for name, e in entries.items():
+        t = e.get("task", task)
+        if t is None:
+            raise ValueError(f"entry {name!r} needs a LocationTask")
+        out[name] = evaluate_location(
+            t, e["location_params"], e["composite_params"], batch
+        )
+    return out
