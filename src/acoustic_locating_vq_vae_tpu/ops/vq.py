@@ -43,7 +43,10 @@ def nearest_codebook(flat_x: jnp.ndarray, codebook: jnp.ndarray) -> Tuple[jnp.nd
     """
     x2 = jnp.sum(flat_x**2, axis=1, keepdims=True)  # (N, 1)
     e2 = jnp.sum(codebook**2, axis=1)  # (K,)
-    cross = flat_x @ codebook.T  # (N, K) — MXU
+    # HIGHEST precision: on TPU the default f32 matmul multiplies in
+    # bfloat16, which can flip near-tie argmins vs the reference's exact
+    # f32 distances.
+    cross = jnp.dot(flat_x, codebook.T, precision=jax.lax.Precision.HIGHEST)  # (N, K)
     distances = x2 + e2[None, :] - 2.0 * cross
     indices = jnp.argmin(distances, axis=1)
     quantized = jnp.take(codebook, indices, axis=0)
