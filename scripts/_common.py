@@ -30,6 +30,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1, help="model-parallel axis size")
     p.add_argument("--model-parallel", action="store_true", help="shard large params over the model axis")
     p.add_argument("--vq-backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument(
+        "--compute-dtype", choices=["float32", "bfloat16"], default="float32",
+        help="conv-stack compute dtype (params/losses/VQ stay f32)",
+    )
     p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     return p
@@ -76,7 +80,7 @@ def setup(args):
 
 
 def task_kwargs(args, config):
-    kw = dict(config=config, vq_backend=args.vq_backend)
+    kw = dict(config=config, vq_backend=args.vq_backend, compute_dtype=args.compute_dtype)
     if args.smoke:
         kw["width_scale"] = 1 / 16
     if args.batch_size:

@@ -23,10 +23,14 @@ def main():
     res = run_pipeline(
         jax.random.PRNGKey(args.seed), train, val, store_dir=args.store_dir,
         config=config, width_scale=width, updates=updates, mesh=mesh,
-        vq_backend=args.vq_backend, **trainer_kwargs(args),
+        vq_backend=args.vq_backend, compute_dtype=args.compute_dtype,
+        **trainer_kwargs(args),
     )
 
-    task = LocationTask(config=config, width_scale=width, vq_backend=args.vq_backend)
+    task = LocationTask(
+        config=config, width_scale=width, vq_backend=args.vq_backend,
+        compute_dtype=args.compute_dtype,
+    )
     metrics = evaluate_location(
         task, res["location"][0], res["finetune"][0], val if val is not None else train
     )

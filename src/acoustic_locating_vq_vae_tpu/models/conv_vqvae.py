@@ -36,16 +36,20 @@ class ConvolutionalEncoder(nn.Module):
     num_residual_hiddens: int
     tied: bool = True
     compat_init: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x1 = Conv1d(self.num_hiddens, kernel_size=3, padding=1, name="conv_1")(x)
+        x1 = Conv1d(
+            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1"
+        )(x)
         stack = ResidualStack(
             self.num_hiddens,
             self.num_residual_layers,
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            dtype=self.dtype,
             name="residual_stack",
         )
         return stack(x1) + x1
@@ -63,23 +67,29 @@ class DeconvolutionalDecoder(nn.Module):
     jitter_probability: float = 0.25
     tied: bool = True
     compat_init: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         if self.use_jitter:
             x = Jitter(self.jitter_probability, name="jitter")(x, train=train)
-        x = Conv1d(self.num_hiddens, kernel_size=3, padding=1, name="conv_1")(x)
+        x = Conv1d(
+            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1"
+        )(x)
         x = ResidualStack(
             self.num_hiddens,
             self.num_residual_layers,
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            dtype=self.dtype,
             name="residual_stack",
         )(x)
-        x = nn.relu(ConvTranspose1d(self.num_hiddens, name="conv_trans_1")(x))
-        x = nn.relu(ConvTranspose1d(self.num_hiddens, name="conv_trans_2")(x))
-        return ConvTranspose1d(self.out_channels, name="conv_trans_3")(x)
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_1")(x))
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_2")(x))
+        out = ConvTranspose1d(self.out_channels, dtype=self.dtype, name="conv_trans_3")(x)
+        # losses always accumulate in f32
+        return out.astype(jnp.float32)
 
 
 class ConvolutionalVQVAE(nn.Module):
@@ -101,6 +111,10 @@ class ConvolutionalVQVAE(nn.Module):
     tied: bool = True
     compat_init: bool = True
     vq_backend: str = "xla"
+    # Mixed precision: conv stacks compute in this dtype (e.g. jnp.bfloat16
+    # for full MXU rate), parameters and losses stay f32, and the VQ
+    # assignment always runs in f32 so code selection is exact.
+    compute_dtype: object = None
 
     def setup(self):
         self._encoder = ConvolutionalEncoder(
@@ -109,8 +123,11 @@ class ConvolutionalVQVAE(nn.Module):
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            dtype=self.compute_dtype,
         )
-        self._pre_vq_conv = Conv1d(self.embedding_dim, kernel_size=3, padding=1)
+        self._pre_vq_conv = Conv1d(
+            self.embedding_dim, kernel_size=3, padding=1, dtype=self.compute_dtype
+        )
         self._vq = VectorQuantizer(
             num_embeddings=self.num_embeddings,
             embedding_dim=self.embedding_dim,
@@ -126,6 +143,7 @@ class ConvolutionalVQVAE(nn.Module):
             jitter_probability=self.jitter_probability,
             tied=self.tied,
             compat_init=self.compat_init,
+            dtype=self.compute_dtype,
         )
 
     def get_embedding_dim(self) -> int:
@@ -138,7 +156,8 @@ class ConvolutionalVQVAE(nn.Module):
         if self.encoder_average_pooling:
             # Mean over time (convolutional_vq_vae.py:96-97), keepdims like torch.
             z = jnp.mean(z, axis=1, keepdims=True)
-        return self._vq(z, train_vq=train_vq)
+        # VQ assignment in f32 regardless of compute dtype.
+        return self._vq(z.astype(jnp.float32), train_vq=train_vq)
 
     def __call__(
         self, x: jnp.ndarray, train: bool = True, train_vq: bool = True

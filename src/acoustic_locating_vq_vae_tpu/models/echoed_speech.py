@@ -42,6 +42,7 @@ class EchoedSpeechReconModel(nn.Module):
     jitter_probability: float = 0.25  # echoed_speech_model.py:30
     tied: bool = True
     compat_init: bool = True
+    compute_dtype: object = None
 
     def setup(self):
         self._decoder = DeconvolutionalDecoder(
@@ -53,6 +54,7 @@ class EchoedSpeechReconModel(nn.Module):
             jitter_probability=self.jitter_probability,
             tied=self.tied,
             compat_init=self.compat_init,
+            dtype=self.compute_dtype,
         )
 
     def __call__(

@@ -38,6 +38,9 @@ class Conv1d(nn.Module):
     padding: int = 1
     use_bias: bool = True
     init_mode: str = "kaiming"
+    # Compute dtype (e.g. jnp.bfloat16 for MXU-rate mixed precision);
+    # parameters stay float32. None = float32 compute.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +54,7 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kernel_init,
             bias_init=torch_default_bias(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -65,6 +69,7 @@ class Dense(nn.Module):
     """Linear layer with torch's default init (location_model.py:10-18)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,4 +78,5 @@ class Dense(nn.Module):
             features=self.features,
             kernel_init=torch_default_weight,
             bias_init=torch_default_bias(fan_in),
+            dtype=self.dtype,
         )(x)

@@ -30,18 +30,20 @@ class Residual(nn.Module):
     num_hiddens: int
     num_residual_hiddens: int
     compat_init: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = nn.relu(x)
         h = Conv1d(
             self.num_residual_hiddens, kernel_size=3, padding=1, use_bias=False,
-            init_mode="kaiming", name="conv_1",
+            init_mode="kaiming", name="conv_1", dtype=self.dtype,
         )(h)
         h = nn.relu(h)
         h = Conv1d(
             self.num_hiddens, kernel_size=1, padding=0, use_bias=False,
             init_mode="torch_default" if self.compat_init else "kaiming", name="conv_2",
+            dtype=self.dtype,
         )(h)
         return x + h
 
@@ -54,12 +56,14 @@ class ResidualStack(nn.Module):
     num_residual_hiddens: int
     tied: bool = True
     compat_init: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.tied:
             block = Residual(
-                self.num_hiddens, self.num_residual_hiddens, self.compat_init, name="residual"
+                self.num_hiddens, self.num_residual_hiddens, self.compat_init,
+                dtype=self.dtype, name="residual",
             )
             for _ in range(self.num_residual_layers):
                 x = block(x)
@@ -67,6 +71,6 @@ class ResidualStack(nn.Module):
             for i in range(self.num_residual_layers):
                 x = Residual(
                     self.num_hiddens, self.num_residual_hiddens, self.compat_init,
-                    name=f"residual_{i}",
+                    dtype=self.dtype, name=f"residual_{i}",
                 )(x)
         return nn.relu(x)

@@ -74,12 +74,16 @@ def run_pipeline(
     updates: Optional[Dict[str, int]] = None,
     mesh=None,
     vq_backend: str = "xla",
+    compute_dtype: str = "float32",
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history)}."""
     updates = updates or {}
     results: Dict[str, Any] = {}
-    kw = dict(config=config, width_scale=width_scale, vq_backend=vq_backend)
+    kw = dict(
+        config=config, width_scale=width_scale, vq_backend=vq_backend,
+        compute_dtype=compute_dtype,
+    )
 
     keys = jax.random.split(key, 5)
 

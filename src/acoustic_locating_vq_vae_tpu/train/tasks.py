@@ -68,6 +68,10 @@ class Task:
         return ("jitter",)
 
 
+
+def _dtype(name: str):
+    return {"float32": None, "bfloat16": jnp.bfloat16}[name]
+
 def _scale(v: int, width_scale: float, floor: int = 4) -> int:
     return max(floor, int(v * width_scale))
 
@@ -83,6 +87,7 @@ class SpeechVQVAETask(Task):
     config: DatasetConfig = DatasetConfig()
     width_scale: float = 1.0  # <1 for smoke/test configs
     vq_backend: str = "xla"
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-rate mixed precision
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -96,6 +101,7 @@ class SpeechVQVAETask(Task):
             num_embeddings=s(1024),
             use_jitter=True,
             vq_backend=self.vq_backend,
+            compute_dtype=_dtype(self.compute_dtype),
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -125,6 +131,7 @@ class RirVQVAETask(Task):
     config: DatasetConfig = DatasetConfig()
     width_scale: float = 1.0
     vq_backend: str = "xla"
+    compute_dtype: str = "float32"
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -139,6 +146,7 @@ class RirVQVAETask(Task):
             use_jitter=False,
             out_channels=1,
             vq_backend=self.vq_backend,
+            compute_dtype=_dtype(self.compute_dtype),
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -158,17 +166,22 @@ class RirVQVAETask(Task):
         return loss, {"recon_error": recon_error, "vq_loss": vq_loss, "perplexity": perplexity}
 
 
-def _echoed_model(config: DatasetConfig, width_scale: float, vq_backend: str):
+def _echoed_model(
+    config: DatasetConfig, width_scale: float, vq_backend: str, compute_dtype: str = "float32"
+):
     s = lambda v: _scale(v, width_scale)
+    dt = _dtype(compute_dtype)
     rir_model = ConvolutionalVQVAE(
         in_channels=config.num_frames, num_hiddens=s(1024), embedding_dim=s(64),
         num_residual_layers=2, num_residual_hiddens=s(64), commitment_cost=0.25,
         num_embeddings=s(1024), use_jitter=False, out_channels=1, vq_backend=vq_backend,
+        compute_dtype=dt,
     )
     speech_model = ConvolutionalVQVAE(
         in_channels=config.num_freq, num_hiddens=s(1024), embedding_dim=s(128),
         num_residual_layers=3, num_residual_hiddens=s(1024), commitment_cost=0.25,
         num_embeddings=s(1024), use_jitter=True, vq_backend=vq_backend,
+        compute_dtype=dt,
     )
     # Composite decoder config: train_echoed_speech.py:23-27 (H=1024, 2 res
     # layers, res-H=1024, jitter on; out_channels = spectrogram freq bins).
@@ -180,6 +193,7 @@ def _echoed_model(config: DatasetConfig, width_scale: float, vq_backend: str):
         num_residual_layers=2,
         num_residual_hiddens=s(1024),
         use_jitter=True,
+        compute_dtype=dt,
     )
 
 
@@ -195,10 +209,11 @@ class EchoedSpeechTask(Task):
     config: DatasetConfig = DatasetConfig()
     width_scale: float = 1.0
     vq_backend: str = "xla"
+    compute_dtype: str = "float32"
     train_encoder: bool = False
 
     def build_model(self) -> EchoedSpeechReconModel:
-        return _echoed_model(self.config, self.width_scale, self.vq_backend)
+        return _echoed_model(self.config, self.width_scale, self.vq_backend, self.compute_dtype)
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         x = znorm(batch.echoed_spec, axis=1)  # train_echoed_speech.py:64
@@ -241,6 +256,7 @@ class LocationTask(Task):
     config: DatasetConfig = DatasetConfig()
     width_scale: float = 1.0
     vq_backend: str = "xla"
+    compute_dtype: str = "float32"
     output_dim: int = 1
 
     def build_model(self) -> LocationModule:
@@ -253,7 +269,7 @@ class LocationTask(Task):
         )
 
     def build_composite(self) -> EchoedSpeechReconModel:
-        return _echoed_model(self.config, self.width_scale, self.vq_backend)
+        return _echoed_model(self.config, self.width_scale, self.vq_backend, self.compute_dtype)
 
     def encodings_from_composite(self, composite, composite_params, batch: SampleBatch):
         """Frozen RIR-branch one-hot encodings, reshaped (B, F, K)
