@@ -35,6 +35,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="conv-stack compute dtype (params/losses/VQ stay f32)",
     )
     p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
+    p.add_argument("--resume", action="store_true", help="resume from the newest periodic checkpoint of this stage")
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     return p
 

@@ -25,7 +25,7 @@ def main():
     else:
         print("WARNING: no 'echoed' stage in store; fine-tuning a fresh composite")
 
-    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     print(
         f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}; "

@@ -27,7 +27,7 @@ def main():
     grafted = graft_pretrained(state.params, speech_params=speech_p, rir_params=rir_p)
     state = state.replace(params=grafted, opt_state=trainer.optimizer.init(grafted))
 
-    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     print(
         f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}; "

@@ -29,7 +29,7 @@ def main():
         composite_params=composite_params, **trainer_kwargs(args),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
-    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     print(
         f"done: final location MSE {f['train']['location_error'][-100:].mean():.5f} "

@@ -14,7 +14,7 @@ def main():
     task = SpeechVQVAETask(**task_kwargs(args, config))
     trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 1), train)
-    state, history = trainer.fit(state, train, val, num_updates=args.updates)
+    state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     print(
         f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}, "

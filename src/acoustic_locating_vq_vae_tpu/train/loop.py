@@ -190,8 +190,20 @@ class Trainer:
         train_data: SampleBatch,
         val_data: Optional[SampleBatch] = None,
         num_updates: Optional[int] = None,
+        resume: bool = False,
     ) -> Tuple[TrainState, TrainHistory]:
+        """Run the stage. With ``resume=True`` and a checkpoint store, restart
+        from the newest periodic checkpoint of this task (params, opt state,
+        AND step), so a crash loses at most ``ckpt_every`` updates — unlike
+        the reference, which never saves optimizer state (SURVEY.md §5.3)."""
         num_updates = num_updates or self.task.num_updates
+        start = 0
+        if resume:
+            restored = self.restore_latest(state)
+            if restored is not None:
+                state, start = restored
+                if self.verbose:
+                    print(f"[{self.task.name}] resumed at step {start}", flush=True)
         train_data = jax.device_put(train_data, batch_sharding(self.mesh))
         n_train = int(train_data.speech_spec.shape[0])
         if val_data is not None:
@@ -201,7 +213,7 @@ class Trainer:
         history = TrainHistory()
         t0 = time.time()
         frames = 0
-        for i in range(num_updates):
+        for i in range(start, num_updates):
             is_val = (
                 val_data is not None
                 and self.val_replaces_train
@@ -244,6 +256,30 @@ class Trainer:
 
     def load_stage_params(self, name: str):
         return self.store.load_stage(name)["params"]
+
+    def restore_latest(self, template_state: TrainState):
+        """Newest periodic checkpoint of this task from the store, or None.
+        Returns (state, completed_updates)."""
+        if self.store is None:
+            return None
+        prefix = f"{self.task.name}_"
+        best = None
+        for tag, meta in self.store.stages().items():
+            if tag.startswith(prefix) and tag[len(prefix):].isdigit():
+                if best is None or meta["step"] > best[1]:
+                    best = (tag, meta["step"])
+        if best is None:
+            return None
+        tree = self.store.load_stage(
+            best[0],
+            template={"params": template_state.params, "opt_state": template_state.opt_state},
+        )
+        state = template_state.replace(
+            step=jnp.asarray(best[1], jnp.int32),
+            params=tree["params"],
+            opt_state=tree["opt_state"],
+        )
+        return state, int(best[1])
 
 
 def _take(batch: SampleBatch, n: int) -> SampleBatch:

@@ -152,3 +152,33 @@ def test_resume_from_checkpoint_continues(tmp_path, datasets):
 def test_location_task_requires_composite(datasets):
     with pytest.raises(ValueError):
         Trainer(LocationTask(config=SMALL, width_scale=WS), verbose=False)
+
+
+def test_auto_resume_from_periodic_checkpoint(tmp_path, datasets):
+    """Crash recovery: kill after the first periodic checkpoint, resume picks
+    up params+opt_state+step from it (SURVEY.md §5.3 gap in the reference)."""
+    train, val = datasets
+    import dataclasses
+
+    task = dataclasses.replace(
+        SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8), ckpt_every=5
+    )
+    tr = Trainer(task, checkpoint_dir=str(tmp_path), log_every=1000, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(11), train)
+    # "crash" after 7 updates: checkpoints exist at step 5
+    st, _ = tr.fit(st, train, val, num_updates=7)
+
+    tr2 = Trainer(task, checkpoint_dir=str(tmp_path), log_every=1000, verbose=False)
+    st2 = tr2.init_state(jax.random.PRNGKey(12), train)
+    restored = tr2.restore_latest(st2)
+    assert restored is not None
+    st3, done = restored
+    assert done == 5
+    # params differ from the fresh init (they are the trained ones)
+    fresh = np.asarray(jax.tree_util.tree_leaves(st2.params)[0])
+    rest = np.asarray(jax.tree_util.tree_leaves(st3.params)[0])
+    assert not np.array_equal(fresh, rest)
+    # and fit(resume=True) continues to the target without redoing work
+    st4, hist = tr2.fit(st2, train, val, num_updates=10, resume=True)
+    assert int(jax.device_get(st4.step)) == 10
+    assert len(hist.finalize()["train"]["loss"]) == 5  # only steps 6..10 run
