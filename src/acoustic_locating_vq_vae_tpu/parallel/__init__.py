@@ -15,9 +15,13 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .sequence import halo_exchange, sequence_sharded_conv, sharded_conv1d
 from .sharding_rules import param_partition_spec, param_shardings
 
 __all__ = [
+    "halo_exchange",
+    "sequence_sharded_conv",
+    "sharded_conv1d",
     "batch_sharding",
     "local_mesh",
     "make_mesh",

@@ -35,7 +35,17 @@ def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     if template is not None:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
         return ckptr.restore(path, abstract)
-    return ckptr.restore(path)
+    # Template-less restore is how the stage-handoff scripts read params;
+    # orbax warns (it cannot validate topology) — expected and safe here.
+    import logging
+
+    logger = logging.getLogger("absl")
+    prev = logger.level
+    logger.setLevel(logging.ERROR)
+    try:
+        return ckptr.restore(path)
+    finally:
+        logger.setLevel(prev)
 
 
 class StageStore:
