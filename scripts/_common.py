@@ -36,6 +36,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
     p.add_argument("--resume", action="store_true", help="resume from the newest periodic checkpoint of this stage")
+    p.add_argument(
+        "--vq-ema", action="store_true",
+        help="EMA codebook learning for the VQ stages (default: gradient codebook, reference parity)",
+    )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     return p
 
@@ -80,8 +84,10 @@ def setup(args):
     return config, mesh, train, val
 
 
-def task_kwargs(args, config):
+def task_kwargs(args, config, supports_ema: bool = False):
     kw = dict(config=config, vq_backend=args.vq_backend, compute_dtype=args.compute_dtype)
+    if supports_ema and getattr(args, "vq_ema", False):
+        kw["vq_ema"] = True
     if args.smoke:
         kw["width_scale"] = 1 / 16
     if args.batch_size:

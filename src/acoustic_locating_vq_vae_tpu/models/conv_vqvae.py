@@ -111,6 +111,11 @@ class ConvolutionalVQVAE(nn.Module):
     tied: bool = True
     compat_init: bool = True
     vq_backend: str = "xla"
+    # EMA codebook learning (van den Oord appendix) instead of the
+    # reference's gradient-trained codebook; the codebook then lives in the
+    # "vq_stats" variable collection, updated during forward passes.
+    vq_ema: bool = False
+    vq_ema_decay: float = 0.99
     # Mixed precision: conv stacks compute in this dtype (e.g. jnp.bfloat16
     # for full MXU rate), parameters and losses stay f32, and the VQ
     # assignment always runs in f32 so code selection is exact.
@@ -133,6 +138,8 @@ class ConvolutionalVQVAE(nn.Module):
             embedding_dim=self.embedding_dim,
             commitment_cost=self.commitment_cost,
             backend=self.vq_backend,
+            ema=self.vq_ema,
+            ema_decay=self.vq_ema_decay,
         )
         self._decoder = DeconvolutionalDecoder(
             out_channels=self.out_channels if self.out_channels is not None else self.in_channels,

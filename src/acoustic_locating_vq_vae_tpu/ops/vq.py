@@ -76,15 +76,25 @@ class VectorQuantizer(nn.Module):
         def cb_init(key, shape, dtype=jnp.float32):
             return jax.random.uniform(key, shape, dtype, minval=-1.0 / k, maxval=1.0 / k)
 
-        self.codebook = self.param(
-            "codebook", cb_init, (self.num_embeddings, self.embedding_dim)
-        )
         if self.ema:
-            self.ema_counts = self.variable(
-                "vq_stats", "ema_counts", jnp.zeros, (self.num_embeddings,)
+            # EMA mode (van den Oord appendix A.1): the codebook is a
+            # NON-trainable variable updated from exponentially averaged
+            # assignment statistics during the forward pass (like BatchNorm
+            # statistics). Under a data-parallel mesh the count/sum
+            # reductions are over the global batch — XLA inserts the
+            # cross-chip allreduce (SURVEY.md §5.8).
+            self.codebook_var = self.variable(
+                "vq_stats",
+                "codebook",
+                lambda: cb_init(self.make_rng("params"), (k, self.embedding_dim)),
             )
+            self.ema_counts = self.variable("vq_stats", "ema_counts", lambda: jnp.ones(k))
             self.ema_sums = self.variable(
-                "vq_stats", "ema_sums", lambda s: jnp.zeros(s), (self.num_embeddings, self.embedding_dim)
+                "vq_stats", "ema_sums", lambda: jnp.array(self.codebook_var.value)
+            )
+        else:
+            self.codebook = self.param(
+                "codebook", cb_init, (self.num_embeddings, self.embedding_dim)
             )
 
     def __call__(self, inputs: jnp.ndarray, train_vq: bool = True) -> VQOutput:
@@ -92,26 +102,39 @@ class VectorQuantizer(nn.Module):
         ``quantized`` has the input shape."""
         input_shape = inputs.shape
         flat = inputs.reshape(-1, self.embedding_dim)
+        codebook = self.codebook_var.value if self.ema else self.codebook
 
         if self.backend == "pallas":
             from .vq_pallas import nearest_codebook_pallas
 
-            indices, quantized = nearest_codebook_pallas(flat, self.codebook)
+            indices, quantized = nearest_codebook_pallas(flat, codebook)
         else:
-            indices, quantized = nearest_codebook(flat, self.codebook)
+            indices, quantized = nearest_codebook(flat, codebook)
 
         e_latent_loss = jnp.mean((jax.lax.stop_gradient(quantized) - flat) ** 2)
         if self.ema:
-            # EMA mode: codebook trained by statistics, not gradient.
+            # Codebook learned from statistics, not gradient: loss carries
+            # only the commitment term.
             q_latent_loss = jnp.asarray(0.0, flat.dtype)
             if train_vq and not self.is_initializing():
-                one_hot = jax.nn.one_hot(indices, self.num_embeddings, dtype=flat.dtype)
-                counts = jnp.sum(one_hot, axis=0)
-                sums = one_hot.T @ jax.lax.stop_gradient(flat)
+                sg_flat = jax.lax.stop_gradient(flat)
+                counts = jnp.zeros(self.num_embeddings, flat.dtype).at[indices].add(1.0)
+                sums = (
+                    jnp.zeros((self.num_embeddings, self.embedding_dim), flat.dtype)
+                    .at[indices]
+                    .add(sg_flat)
+                )
                 new_counts = self.ema_decay * self.ema_counts.value + (1 - self.ema_decay) * counts
                 new_sums = self.ema_decay * self.ema_sums.value + (1 - self.ema_decay) * sums
                 self.ema_counts.value = new_counts
                 self.ema_sums.value = new_sums
+                n = jnp.sum(new_counts)
+                smoothed = (
+                    (new_counts + self.ema_eps)
+                    / (n + self.num_embeddings * self.ema_eps)
+                    * n
+                )
+                self.codebook_var.value = new_sums / smoothed[:, None]
         elif train_vq:
             q_latent_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat)) ** 2)
         else:
@@ -134,8 +157,3 @@ class VectorQuantizer(nn.Module):
             loss=loss, quantized=ste, perplexity=perplexity, encodings=encodings, indices=indices
         )
 
-    def apply_ema_update(self, params_codebook, counts, sums):
-        """Codebook from EMA statistics: e_k = sums_k / counts_k (Laplace-smoothed)."""
-        n = jnp.sum(counts)
-        smoothed = (counts + self.ema_eps) / (n + self.num_embeddings * self.ema_eps) * n
-        return sums / smoothed[:, None]

@@ -44,6 +44,8 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     rng: jax.Array
+    # Non-trainable variable collections (e.g. "vq_stats" for EMA codebooks).
+    variables: Any = None
 
 
 class TrainHistory:
@@ -128,18 +130,25 @@ class Trainer:
         if "jitter" in self.task.rng_streams:
             rngs["jitter"] = k_jitter
         variables = jax.jit(functools.partial(self.model.init, rngs))(*inputs)
-        params = variables["params"]
+        variables = dict(variables)
+        params = variables.pop("params")
         params = shard_params(params, self.mesh, self.model_parallel)
+        extra = jax.device_put(variables, replicated(self.mesh)) if variables else {}
         opt_state = jax.device_put(self.optimizer.init(params), replicated(self.mesh))
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=k_loop)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state,
+            rng=k_loop, variables=extra,
+        )
 
     # ------------------------------------------------------------------ step
 
-    def _loss(self, params, batch: SampleBatch, rngs: Dict, train: bool):
+    def _loss(self, params, batch: SampleBatch, rngs: Dict, train: bool, variables=None):
         if isinstance(self.task, LocationTask):
             enc = self.task.encodings_from_composite(self.composite, self.composite_params, batch)
-            return self.task.loss(self.model, params, batch, rngs, train, encodings=enc)
-        return self.task.loss(self.model, params, batch, rngs, train)
+            return self.task.loss(
+                self.model, params, batch, rngs, train, encodings=enc, variables=variables
+            )
+        return self.task.loss(self.model, params, batch, rngs, train, variables=variables)
 
     def _build_step(self):
         batch_size = self.task.batch_size
@@ -166,17 +175,21 @@ class Trainer:
 
             if is_train:
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                    state.params, batch, rngs, True
+                    state.params, batch, rngs, True, state.variables
                 )
+                metrics = dict(metrics)
+                new_vars = metrics.pop("_variables", state.variables)
                 updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
                 new_state = state.replace(
-                    step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+                    step=state.step + 1, params=params, opt_state=opt_state, rng=rng,
+                    variables=new_vars,
                 )
             else:
-                loss, metrics = self._loss(state.params, batch, rngs, False)
+                loss, metrics = self._loss(state.params, batch, rngs, False, state.variables)
+                metrics = dict(metrics)
+                metrics.pop("_variables", None)
                 new_state = state.replace(step=state.step + 1, rng=rng)
-            metrics = dict(metrics)
             metrics["loss"] = loss
             return new_state, metrics
 
@@ -247,11 +260,11 @@ class Trainer:
 
     def save_checkpoint(self, state: TrainState, tag: str, final: bool = False):
         step = int(jax.device_get(state.step))
+        tree = {"params": state.params, "opt_state": state.opt_state}
+        if state.variables:
+            tree["variables"] = state.variables
         self.store.save_stage(
-            tag,
-            {"params": state.params, "opt_state": state.opt_state},
-            step=step,
-            metadata={"task": self.task.name, "final": final},
+            tag, tree, step=step, metadata={"task": self.task.name, "final": final}
         )
 
     def load_stage_params(self, name: str):
@@ -270,14 +283,15 @@ class Trainer:
                     best = (tag, meta["step"])
         if best is None:
             return None
-        tree = self.store.load_stage(
-            best[0],
-            template={"params": template_state.params, "opt_state": template_state.opt_state},
-        )
+        template = {"params": template_state.params, "opt_state": template_state.opt_state}
+        if template_state.variables:
+            template["variables"] = template_state.variables
+        tree = self.store.load_stage(best[0], template=template)
         state = template_state.replace(
             step=jnp.asarray(best[1], jnp.int32),
             params=tree["params"],
             opt_state=tree["opt_state"],
+            variables=tree.get("variables", template_state.variables),
         )
         return state, int(best[1])
 

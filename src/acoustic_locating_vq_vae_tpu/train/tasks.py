@@ -59,8 +59,12 @@ class Task:
         raise NotImplementedError
 
     def loss(
-        self, model: nn.Module, params, batch: SampleBatch, rngs: Dict, train: bool
+        self, model: nn.Module, params, batch: SampleBatch, rngs: Dict, train: bool,
+        variables=None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """``variables``: non-trainable collections (e.g. EMA vq_stats);
+        implementations that mutate them return the update under the
+        reserved metrics key ``"_variables"``."""
         raise NotImplementedError
 
     @property
@@ -71,6 +75,22 @@ class Task:
 
 def _dtype(name: str):
     return {"float32": None, "bfloat16": jnp.bfloat16}[name]
+
+
+def _apply_vqvae(model, params, x, rngs, train, ema: bool, variables):
+    """Apply a ConvolutionalVQVAE, threading the mutable vq_stats collection
+    when the codebook is EMA-learned. EMA statistics only update on training
+    steps (train_vq=train there; gradient mode keeps the reference's
+    always-on q-latent loss value)."""
+    if ema:
+        (out, mutated) = model.apply(
+            {"params": params, **(variables or {})}, x,
+            train=train, train_vq=train, rngs=rngs, mutable=["vq_stats"],
+        )
+        metrics = {"_variables": dict(mutated)} if train else {}
+        return out, metrics
+    out = model.apply({"params": params}, x, train=train, rngs=rngs)
+    return out, {}
 
 def _scale(v: int, width_scale: float, floor: int = 4) -> int:
     return max(floor, int(v * width_scale))
@@ -88,6 +108,7 @@ class SpeechVQVAETask(Task):
     width_scale: float = 1.0  # <1 for smoke/test configs
     vq_backend: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for MXU-rate mixed precision
+    vq_ema: bool = False  # EMA codebook (option; gradient mode = reference parity)
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -102,6 +123,7 @@ class SpeechVQVAETask(Task):
             use_jitter=True,
             vq_backend=self.vq_backend,
             compute_dtype=_dtype(self.compute_dtype),
+            vq_ema=self.vq_ema,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -109,15 +131,15 @@ class SpeechVQVAETask(Task):
         x = znorm(jnp.abs(batch.speech_spec), axis=1)
         return (x,)
 
-    def loss(self, model, params, batch, rngs, train):
+    def loss(self, model, params, batch, rngs, train, variables=None):
         (x,) = self.model_inputs(batch)
-        vq_loss, recon, perplexity = model.apply(
-            {"params": params}, x, train=train, rngs=rngs
-        )
+        out, metrics = _apply_vqvae(model, params, x, rngs, train, self.vq_ema, variables)
+        vq_loss, recon, perplexity = out
         recon = recon[..., : x.shape[-1]]  # trim guard (train_speech.py:70-72)
         recon_error = jnp.mean((recon - x) ** 2)
         loss = recon_error + vq_loss  # train_speech.py:88
-        return loss, {"recon_error": recon_error, "vq_loss": vq_loss, "perplexity": perplexity}
+        metrics.update(recon_error=recon_error, vq_loss=vq_loss, perplexity=perplexity)
+        return loss, metrics
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +154,7 @@ class RirVQVAETask(Task):
     width_scale: float = 1.0
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
+    vq_ema: bool = False
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -147,6 +170,7 @@ class RirVQVAETask(Task):
             out_channels=1,
             vq_backend=self.vq_backend,
             compute_dtype=_dtype(self.compute_dtype),
+            vq_ema=self.vq_ema,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -154,16 +178,16 @@ class RirVQVAETask(Task):
         x = znorm(batch.rir_spec, axis=1)
         return (jnp.swapaxes(x, 1, 2),)
 
-    def loss(self, model, params, batch, rngs, train):
+    def loss(self, model, params, batch, rngs, train, variables=None):
         (x,) = self.model_inputs(batch)
         target = znorm(batch.wiener_est, axis=1)[:, None, :]  # (B,1,F) (train_rir.py:46-49)
-        vq_loss, recon, perplexity = model.apply(
-            {"params": params}, x, train=train, rngs=rngs
-        )
+        out, metrics = _apply_vqvae(model, params, x, rngs, train, self.vq_ema, variables)
+        vq_loss, recon, perplexity = out
         recon = recon[..., : target.shape[-1]]  # trim guard (train_rir.py:54-58)
         recon_error = jnp.mean((recon - target) ** 2)
         loss = recon_error + vq_loss  # train_rir.py:72
-        return loss, {"recon_error": recon_error, "vq_loss": vq_loss, "perplexity": perplexity}
+        metrics.update(recon_error=recon_error, vq_loss=vq_loss, perplexity=perplexity)
+        return loss, metrics
 
 
 def _echoed_model(
@@ -219,7 +243,7 @@ class EchoedSpeechTask(Task):
         x = znorm(batch.echoed_spec, axis=1)  # train_echoed_speech.py:64
         return x, jnp.swapaxes(x, 1, 2)
 
-    def loss(self, model, params, batch, rngs, train):
+    def loss(self, model, params, batch, rngs, train, variables=None):
         x, x_rir = self.model_inputs(batch)
         recon, speech_perp, rir_perp = model.apply(
             {"params": params}, x, x_rir, train=train,
@@ -287,7 +311,7 @@ class LocationTask(Task):
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         raise RuntimeError("LocationTask needs composite encodings; use loss()")
 
-    def loss(self, model, params, batch, rngs, train, encodings=None):
+    def loss(self, model, params, batch, rngs, train, encodings=None, variables=None):
         assert encodings is not None, "pass precomputed encodings"
         pred = model.apply({"params": params}, encodings)
         target = (batch.theta.reshape(-1, 1) / jnp.pi).astype(pred.dtype)
@@ -299,10 +323,21 @@ class LocationTask(Task):
         return ()
 
 
-def graft_pretrained(composite_params, speech_params=None, rir_params=None):
+def graft_pretrained(
+    composite_params,
+    speech_params=None,
+    rir_params=None,
+    speech_variables=None,
+    rir_variables=None,
+):
     """Stage handoff: insert pretrained VQ-VAE parameter trees into a freshly
     initialized composite — the functional equivalent of the reference's
-    whole-module pickle loading (train_echoed_speech.py:18-19)."""
+    whole-module pickle loading (train_echoed_speech.py:18-19).
+
+    ``*_variables``: the TrainState.variables of an EMA-trained stage; its
+    vq_stats codebook is grafted into the composite's (param-mode, frozen)
+    codebook slot, converting EMA -> frozen-parameter representation.
+    """
     p = unfreeze(composite_params) if hasattr(composite_params, "unfreeze") else dict(composite_params)
     # Copy the grafted trees: the next stage's jitted step donates its
     # TrainState, which would otherwise invalidate the donor stage's params.
@@ -311,6 +346,17 @@ def graft_pretrained(composite_params, speech_params=None, rir_params=None):
         p["speech_model"] = copy(speech_params)
     if rir_params is not None:
         p["rir_model"] = copy(rir_params)
+
+    def graft_codebook(model_key, variables):
+        cb = variables["vq_stats"]["_vq"]["codebook"]
+        sub = dict(p[model_key])
+        sub["_vq"] = {**dict(sub.get("_vq", {})), "codebook": jnp.array(cb)}
+        p[model_key] = sub
+
+    if speech_variables:
+        graft_codebook("speech_model", speech_variables)
+    if rir_variables:
+        graft_codebook("rir_model", rir_variables)
     return p
 
 
