@@ -36,6 +36,7 @@ class ConvolutionalEncoder(nn.Module):
     num_residual_hiddens: int
     tied: bool = True
     compat_init: bool = True
+    compat_inplace_relu: bool = True
     dtype: object = None
 
     @nn.compact
@@ -49,10 +50,16 @@ class ConvolutionalEncoder(nn.Module):
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.dtype,
             name="residual_stack",
         )
-        return stack(x1) + x1
+        out = stack(x1)
+        # Reference quirk (see ops/residual.py docstring): the first block's
+        # in-place ReLU mutated x1, so the outer skip adds relu(x1).
+        if self.compat_inplace_relu and self.num_residual_layers > 0:
+            return out + nn.relu(x1)
+        return out + x1
 
 
 class DeconvolutionalDecoder(nn.Module):
@@ -67,6 +74,7 @@ class DeconvolutionalDecoder(nn.Module):
     jitter_probability: float = 0.25
     tied: bool = True
     compat_init: bool = True
+    compat_inplace_relu: bool = True
     dtype: object = None
 
     @nn.compact
@@ -82,6 +90,7 @@ class DeconvolutionalDecoder(nn.Module):
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.dtype,
             name="residual_stack",
         )(x)
@@ -110,6 +119,7 @@ class ConvolutionalVQVAE(nn.Module):
     jitter_probability: float = 0.25
     tied: bool = True
     compat_init: bool = True
+    compat_inplace_relu: bool = True
     vq_backend: str = "xla"
     # EMA codebook learning (van den Oord appendix) instead of the
     # reference's gradient-trained codebook; the codebook then lives in the
@@ -128,6 +138,7 @@ class ConvolutionalVQVAE(nn.Module):
             self.num_residual_hiddens,
             tied=self.tied,
             compat_init=self.compat_init,
+            compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
         )
         self._pre_vq_conv = Conv1d(
@@ -150,6 +161,7 @@ class ConvolutionalVQVAE(nn.Module):
             jitter_probability=self.jitter_probability,
             tied=self.tied,
             compat_init=self.compat_init,
+            compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
         )
 

@@ -42,6 +42,7 @@ class EchoedSpeechReconModel(nn.Module):
     jitter_probability: float = 0.25  # echoed_speech_model.py:30
     tied: bool = True
     compat_init: bool = True
+    compat_inplace_relu: bool = True
     compute_dtype: object = None
 
     def setup(self):
@@ -54,6 +55,7 @@ class EchoedSpeechReconModel(nn.Module):
             jitter_probability=self.jitter_probability,
             tied=self.tied,
             compat_init=self.compat_init,
+            compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
         )
 

@@ -52,13 +52,16 @@ class TorchRef(torch.nn.Module):
         self.dec_t3 = conv(d["conv_trans_3"], H, out_ch, 3)
 
     def _stack(self, x, c1, c2):
+        # reference in-place-ReLU semantics: skip = relu(x) per block
         for _ in range(self.N):
-            x = x + c2(torch.relu(c1(torch.relu(x))))
+            rx = torch.relu(x)
+            x = rx + c2(torch.relu(c1(rx)))
         return torch.relu(x)
 
     def forward(self, x):
         x1 = self.enc_conv(x)
-        z = self._stack(x1, self.enc_res1, self.enc_res2) + x1
+        # outer skip adds relu(x1): the first block mutated x1 in place
+        z = self._stack(x1, self.enc_res1, self.enc_res2) + torch.relu(x1)
         z = self.pre_vq(z)  # (B, D, L)
         flat = z.permute(0, 2, 1).reshape(-1, z.shape[1])
         dist = (

@@ -42,7 +42,9 @@ def test_stride1_convtranspose_equals_flipped_conv():
 
 
 class TorchResidual(torch.nn.Module):
-    """Reference residual math (residual.py:36-66), torch rendition."""
+    """Reference residual math (residual.py:36-66), torch rendition INCLUDING
+    the in-place-ReLU quirk: ``Sequential(ReLU(True), ...)`` mutates the
+    skip input, so the block computes relu(x) + c2(relu(c1(relu(x))))."""
 
     def __init__(self, in_ch, hid, res_hid):
         super().__init__()
@@ -50,7 +52,8 @@ class TorchResidual(torch.nn.Module):
         self.c2 = torch.nn.Conv1d(res_hid, hid, 1, bias=False)
 
     def forward(self, x):
-        return x + self.c2(torch.relu(self.c1(torch.relu(x))))
+        rx = torch.relu(x)
+        return rx + self.c2(torch.relu(self.c1(rx)))
 
 
 def test_residual_stack_tied_matches_torch():
