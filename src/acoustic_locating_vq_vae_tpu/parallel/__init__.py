@@ -15,10 +15,12 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .dp_step import make_shard_map_train_step
 from .sequence import halo_exchange, sequence_sharded_conv, sharded_conv1d
 from .sharding_rules import param_partition_spec, param_shardings
 
 __all__ = [
+    "make_shard_map_train_step",
     "halo_exchange",
     "sequence_sharded_conv",
     "sharded_conv1d",
