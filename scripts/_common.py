@@ -37,6 +37,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
     p.add_argument("--resume", action="store_true", help="resume from the newest periodic checkpoint of this stage")
     p.add_argument(
+        "--on-the-fly", action="store_true",
+        help="synthesize a fresh training batch inside every step (infinite data; no training dataset needed)",
+    )
+    p.add_argument(
         "--vq-ema", action="store_true",
         help="EMA codebook learning for the VQ stages (default: gradient codebook, reference parity)",
     )
@@ -96,4 +100,8 @@ def task_kwargs(args, config, supports_ema: bool = False):
 
 
 def trainer_kwargs(args):
-    return dict(log_every=args.log_every, model_parallel=args.model_parallel)
+    return dict(
+        log_every=args.log_every,
+        model_parallel=args.model_parallel,
+        on_the_fly=getattr(args, "on_the_fly", False),
+    )

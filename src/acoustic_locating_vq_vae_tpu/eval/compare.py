@@ -21,9 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.config import DatasetConfig
 from ..data.synth import SampleBatch
-from ..dsp import source_coordinates, znorm
+from ..dsp import source_coordinates
 from ..train.tasks import LocationTask
 
 __all__ = ["evaluate_location", "compare_location_models"]

@@ -8,7 +8,7 @@ latents organize by source angle (echoe_transfer.py:62-71; its broken tail
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -16,8 +16,6 @@ import numpy as np
 
 from ..data.synth import SampleBatch
 from ..dsp import znorm
-from ..train.tasks import EchoedSpeechTask, LocationTask
-
 __all__ = ["collect_encodings", "tsne_rir_embedding"]
 
 

@@ -15,8 +15,6 @@ shapes, simpler lowering.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 from flax import linen as nn
 

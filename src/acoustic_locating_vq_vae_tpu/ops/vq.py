@@ -24,7 +24,7 @@ Pallas kernel (ops/vq_pallas.py) can drop in; set ``backend="pallas"``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ suite exercises them on CPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

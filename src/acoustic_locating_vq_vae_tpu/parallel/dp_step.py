@@ -10,8 +10,7 @@ HLO). Both formulations compute identical updates; the test asserts it.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,12 +16,12 @@ with halos, and returns the equivalent of the unsharded convolution.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["halo_exchange", "sharded_conv1d", "sequence_sharded_conv"]
 

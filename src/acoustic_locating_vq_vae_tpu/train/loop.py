@@ -91,8 +91,17 @@ class Trainer:
         composite_params: Any = None,
         optimizer: Optional[optax.GradientTransformation] = None,
         verbose: bool = True,
+        on_the_fly: bool = False,
+        synth_kwargs: Optional[Dict] = None,
     ):
+        """``on_the_fly=True`` synthesizes a FRESH training batch inside every
+        jitted step (data/synth.py fused into the step program) instead of
+        sampling a resident dataset — infinite training data, impossible with
+        the reference's offline generator. ``synth_kwargs`` forwards
+        fixed_rir / fixed_speech / rir_chunk to the synthesizer."""
         self.task = task
+        self.on_the_fly = on_the_fly
+        self.synth_kwargs = synth_kwargs or {}
         self.mesh = mesh if mesh is not None else local_mesh()
         self.model_parallel = model_parallel
         self.model = task.build_model()
@@ -170,7 +179,20 @@ class Trainer:
 
         def step(state: TrainState, data: SampleBatch, dataset_size: int, is_train: bool):
             rng, k_sample, k_jitter = jax.random.split(state.rng, 3)
-            batch = sample(data, k_sample, dataset_size)
+            if is_train and self.on_the_fly:
+                from ..data.synth import synthesize_batch
+
+                batch = synthesize_batch(
+                    k_sample, batch_size, self.task.config, **self.synth_kwargs
+                )
+                batch = jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+                    ),
+                    batch,
+                )
+            else:
+                batch = sample(data, k_sample, dataset_size)
             rngs = {"jitter": k_jitter} if "jitter" in self.task.rng_streams else {}
 
             if is_train:
@@ -210,6 +232,12 @@ class Trainer:
         AND step), so a crash loses at most ``ckpt_every`` updates — unlike
         the reference, which never saves optimizer state (SURVEY.md §5.3)."""
         num_updates = num_updates or self.task.num_updates
+        if train_data is None:
+            if not self.on_the_fly:
+                raise ValueError("train_data=None requires on_the_fly=True")
+            if val_data is None:
+                raise ValueError("on-the-fly training still needs val_data (or a 1-sample stub)")
+            train_data = _take(val_data, 1)  # placeholder operand; unused on train steps
         start = 0
         if resume:
             restored = self.restore_latest(state)

@@ -16,12 +16,12 @@ Stage hyperparameters are the reference's:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from ..data.config import DatasetConfig
 from ..data.synth import SampleBatch

@@ -182,3 +182,25 @@ def test_auto_resume_from_periodic_checkpoint(tmp_path, datasets):
     st4, hist = tr2.fit(st2, train, val, num_updates=10, resume=True)
     assert int(jax.device_get(st4.step)) == 10
     assert len(hist.finalize()["train"]["loss"]) == 5  # only steps 6..10 run
+
+
+def test_on_the_fly_synthesis_training(datasets):
+    """Fresh data synthesized inside the jitted step: no resident training
+    set at all (train_data=None), loss finite and decreasing-ish."""
+    _, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, eval_every=10)
+    tr = Trainer(
+        task, log_every=1000, verbose=False, on_the_fly=True,
+        synth_kwargs=dict(rir_chunk=2048),
+    )
+    st = tr.init_state(jax.random.PRNGKey(21), val)
+    st, hist = tr.fit(st, None, val, num_updates=20)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["loss"]).all()
+    assert len(f["train"]["loss"]) == 18  # 2 val steps replaced train steps
+    assert len(f["val"]["recon_error"]) == 2
+    # on-the-fly without the flag is rejected
+    tr2 = Trainer(task, verbose=False)
+    st2 = tr2.init_state(jax.random.PRNGKey(22), val)
+    with pytest.raises(ValueError):
+        tr2.fit(st2, None, val, num_updates=2)
