@@ -282,13 +282,21 @@ class LocationTask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
     output_dim: int = 1
+    # "encodings": flattened one-hot code assignments, the reference input
+    # (train_location.py:69-75). "quantized": the RIR-branch quantized
+    # latents — a denser fixed-variant input the reference lacks.
+    input_mode: str = "encodings"
 
     def build_model(self) -> LocationModule:
+        if self.input_mode == "quantized":
+            width = _scale(64, self.width_scale)  # rir embedding_dim
+        else:
+            width = _scale(1024, self.width_scale)  # rir num_embeddings (K)
         # LocationModule(201, 1024, 1) (train_location.py:39): flattens
-        # (B, F, K) one-hot encodings.
+        # (B, F, width) features.
         return LocationModule(
             encoder_output_dim=self.config.num_freq,
-            num_hiddens=_scale(1024, self.width_scale),
+            num_hiddens=width,
             output_dim=self.output_dim,
         )
 
@@ -305,8 +313,11 @@ class LocationTask(Task):
             x_trans,
             method=composite.rir_model.get_latent_representation,
         )
-        enc = enc.reshape(q.shape[0], self.config.num_freq, -1)
-        return jax.lax.stop_gradient(enc)
+        if self.input_mode == "quantized":
+            feats = jnp.swapaxes(q, 1, 2)  # (B, F, D_rir)
+        else:
+            feats = enc.reshape(q.shape[0], self.config.num_freq, -1)
+        return jax.lax.stop_gradient(feats)
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         raise RuntimeError("LocationTask needs composite encodings; use loss()")

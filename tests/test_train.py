@@ -204,3 +204,19 @@ def test_on_the_fly_synthesis_training(datasets):
     st2 = tr2.init_state(jax.random.PRNGKey(22), val)
     with pytest.raises(ValueError):
         tr2.fit(st2, None, val, num_updates=2)
+
+
+def test_location_quantized_input_mode(datasets):
+    """Fixed-variant location input: quantized latents instead of one-hots."""
+    train, _ = datasets
+    comp_task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8)
+    comp_tr = Trainer(comp_task, verbose=False)
+    comp_st = comp_tr.init_state(jax.random.PRNGKey(31), train)
+    task = LocationTask(
+        config=SMALL, width_scale=WS, batch_size=8, input_mode="quantized"
+    )
+    tr = Trainer(task, composite_params=comp_st.params, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(32), train)
+    st, hist = tr.fit(st, train, None, num_updates=10)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["location_error"]).all()
