@@ -130,7 +130,11 @@ class Trainer:
                 self.composite, self.composite_params, _take(batch, 1)
             )
             return (enc,)
-        return self.task.model_inputs(_take(batch, 1))
+        inputs = self.task.model_inputs(_take(batch, 1))
+        # Every layer is a stride-1 conv: parameter shapes are independent of
+        # the sequence length, so initialize on a short truncation — the init
+        # program compiles in seconds instead of minutes at full length.
+        return tuple(x[..., : min(16, x.shape[-1])] for x in inputs)
 
     def init_state(self, key: jax.Array, example_batch: SampleBatch) -> TrainState:
         k_params, k_jitter, k_loop = jax.random.split(key, 3)
