@@ -165,7 +165,6 @@ class Trainer:
 
     def _build_step(self):
         batch_size = self.task.batch_size
-        data_sharding = batch_sharding(self.mesh)
 
         def sample(data: SampleBatch, key, size: int) -> SampleBatch:
             # A DataLoader with batch > len(dataset) just yields the whole
