@@ -50,11 +50,31 @@ def evaluate_location(
     for i in range(0, n, batch_size):
         sub = jax.tree_util.tree_map(lambda a: a[i : i + batch_size], batch)
         preds.append(np.asarray(predict(location_params, composite_params, sub)))
-    pred = np.concatenate(preds, axis=0)  # normalized theta/pi (or coords)
+    pred = np.concatenate(preds, axis=0)  # normalized theta/pi, sincos, or coords
 
     theta_true = np.asarray(batch.theta).reshape(-1)
     receiver = jnp.asarray(cfg.receiver_position)
     room = jnp.asarray(cfg.room_dimensions)
+
+    if getattr(task, "target_mode", "normalized_angle") == "sincos":
+        theta_pred = np.arctan2(pred[:, 0], pred[:, 1])
+        err_norm = (theta_pred - theta_true) / np.pi  # comparable scale
+        ang = np.angle(np.exp(1j * (theta_pred - theta_true)))
+        coords_true = np.asarray(
+            source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        )
+        coords_pred = np.asarray(
+            source_coordinates(jnp.asarray(theta_pred), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        )
+        return {
+            "mse_theta_over_pi": float(np.mean((ang / np.pi) ** 2)),
+            "rmse_theta_over_pi": float(np.sqrt(np.mean((ang / np.pi) ** 2))),
+            "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+            "rmse_coordinates_m": float(
+                np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
+            ),
+            "num_samples": int(n),
+        }
 
     if task.output_dim == 1:
         theta_pred = pred.reshape(-1) * np.pi

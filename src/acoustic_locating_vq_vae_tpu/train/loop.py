@@ -73,6 +73,24 @@ class TrainHistory:
             "val": {k: np.asarray(jax.device_get(v)) for k, v in self.val.items()},
         }
 
+    def save(self, path: str) -> None:
+        """Persist metric histories as one .npz (the reference pickles its
+        metric lists per stage, train_speech.py:123-124)."""
+        flat = {}
+        for split, metrics in self.finalize().items():
+            for k, v in metrics.items():
+                flat[f"{split}/{k}"] = v
+        np.savez(path, **flat)
+
+    @staticmethod
+    def load(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+        d = np.load(path)
+        out: Dict[str, Dict[str, np.ndarray]] = {"train": {}, "val": {}}
+        for key in d.files:
+            split, name = key.split("/", 1)
+            out[split][name] = d[key]
+        return out
+
 
 class Trainer:
     """Generic trainer for a :class:`..train.tasks.Task`.

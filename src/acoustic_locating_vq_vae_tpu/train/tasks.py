@@ -286,18 +286,24 @@ class LocationTask(Task):
     # (train_location.py:69-75). "quantized": the RIR-branch quantized
     # latents — a denser fixed-variant input the reference lacks.
     input_mode: str = "encodings"
+    # "normalized_angle": regress theta/pi with MSE (the reference target,
+    # train_location.py:77-78 — discontinuous at the +-pi wrap).
+    # "sincos": regress (sin theta, cos theta) and decode with atan2 — the
+    # circular fixed-variant.
+    target_mode: str = "normalized_angle"
 
     def build_model(self) -> LocationModule:
         if self.input_mode == "quantized":
             width = _scale(64, self.width_scale)  # rir embedding_dim
         else:
             width = _scale(1024, self.width_scale)  # rir num_embeddings (K)
+        out_dim = 2 if self.target_mode == "sincos" else self.output_dim
         # LocationModule(201, 1024, 1) (train_location.py:39): flattens
         # (B, F, width) features.
         return LocationModule(
             encoder_output_dim=self.config.num_freq,
             num_hiddens=width,
-            output_dim=self.output_dim,
+            output_dim=out_dim,
         )
 
     def build_composite(self) -> EchoedSpeechReconModel:
@@ -325,9 +331,19 @@ class LocationTask(Task):
     def loss(self, model, params, batch, rngs, train, encodings=None, variables=None):
         assert encodings is not None, "pass precomputed encodings"
         pred = model.apply({"params": params}, encodings)
-        target = (batch.theta.reshape(-1, 1) / jnp.pi).astype(pred.dtype)
+        theta = batch.theta.reshape(-1, 1).astype(pred.dtype)
+        if self.target_mode == "sincos":
+            target = jnp.concatenate([jnp.sin(theta), jnp.cos(theta)], axis=1)
+        else:
+            target = theta / jnp.pi
         loss = jnp.mean((pred - target) ** 2)  # train_location.py:77-78
         return loss, {"location_error": loss}
+
+    def decode_angle(self, pred: jnp.ndarray) -> jnp.ndarray:
+        """Model output -> angle in radians."""
+        if self.target_mode == "sincos":
+            return jnp.arctan2(pred[:, 0], pred[:, 1])
+        return pred.reshape(-1) * jnp.pi
 
     @property
     def rng_streams(self) -> Tuple[str, ...]:

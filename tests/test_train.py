@@ -220,3 +220,44 @@ def test_location_quantized_input_mode(datasets):
     st, hist = tr.fit(st, train, None, num_updates=10)
     f = hist.finalize()
     assert np.isfinite(f["train"]["location_error"]).all()
+
+
+def test_location_sincos_target_mode(datasets):
+    """Circular (sin, cos) target variant: trains and decodes angles."""
+    train, _ = datasets
+    comp_task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8)
+    comp_tr = Trainer(comp_task, verbose=False)
+    comp_st = comp_tr.init_state(jax.random.PRNGKey(41), train)
+    task = LocationTask(
+        config=SMALL, width_scale=WS, batch_size=8,
+        input_mode="quantized", target_mode="sincos",
+    )
+    tr = Trainer(task, composite_params=comp_st.params, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(42), train)
+    st, hist = tr.fit(st, train, None, num_updates=10)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["location_error"]).all()
+    # decode shape check
+    pred = jnp.asarray(np.random.default_rng(0).standard_normal((5, 2)).astype(np.float32))
+    ang = np.asarray(task.decode_angle(pred))
+    assert ang.shape == (5,)
+    assert (np.abs(ang) <= np.pi).all()
+    # evaluate_location handles sincos
+    from acoustic_locating_vq_vae_tpu.eval import evaluate_location
+    m = evaluate_location(task, st.params, comp_st.params, train)
+    assert np.isfinite(m["rmse_radians"])
+
+
+def test_history_save_load(tmp_path, datasets):
+    train, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(51), train)
+    st, hist = tr.fit(st, train, val, num_updates=6)
+    path = str(tmp_path / "hist.npz")
+    hist.save(path)
+    from acoustic_locating_vq_vae_tpu.train import TrainHistory
+    back = TrainHistory.load(path)
+    np.testing.assert_allclose(
+        back["train"]["loss"], hist.finalize()["train"]["loss"]
+    )
