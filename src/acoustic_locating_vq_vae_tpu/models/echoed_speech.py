@@ -65,14 +65,19 @@ class EchoedSpeechReconModel(nn.Module):
         spec_in_rir: jnp.ndarray,
         train: bool = True,
         train_encoder: bool = False,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        return_vq_losses: bool = False,
+    ):
         """``spec_in`` (B, F=201, T=500), ``spec_in_rir`` its transpose
         (B, 500, 201). Returns (recon (B, 201, 500), speech_perplexity,
-        rir_perplexity) — echoed_speech_model.py:36-56."""
-        _, rir_q, rir_perp, _ = self.rir_model.get_latent_representation(
+        rir_perplexity) — echoed_speech_model.py:36-56. With
+        ``return_vq_losses=True`` a dict of the two branch VQ losses is
+        appended (their commitment terms are differentiable w.r.t. the
+        encoders, the anchor the reference's phase-2 recon-only loss lacks —
+        see VALIDATION.md on codebook collapse)."""
+        rir_vq_loss, rir_q, rir_perp, _ = self.rir_model.get_latent_representation(
             spec_in_rir, train_vq=False
         )  # (B, D_rir, L_rir)
-        _, speech_q, speech_perp, _ = self.speech_model.get_latent_representation(
+        speech_vq_loss, speech_q, speech_perp, _ = self.speech_model.get_latent_representation(
             spec_in, train_vq=False
         )  # (B, D_speech, L_speech)
 
@@ -89,4 +94,7 @@ class EchoedSpeechReconModel(nn.Module):
             quantized = jax.lax.stop_gradient(quantized)  # :51-54
 
         recon = self._decoder(jnp.swapaxes(quantized, -1, -2), train=train)
-        return jnp.swapaxes(recon, -1, -2), speech_perp, rir_perp
+        out = (jnp.swapaxes(recon, -1, -2), speech_perp, rir_perp)
+        if return_vq_losses:
+            return out + ({"speech": speech_vq_loss, "rir": rir_vq_loss},)
+        return out

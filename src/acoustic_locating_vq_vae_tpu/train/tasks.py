@@ -235,6 +235,11 @@ class EchoedSpeechTask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
     train_encoder: bool = False
+    # Weight on the branch VQ losses (commitment terms) added to the recon
+    # loss. The reference's phase-2 loss is recon-only, which lets unfrozen
+    # encoders drift from the frozen codebooks until they collapse
+    # (VALIDATION.md); a nonzero weight anchors them. 0.0 = reference parity.
+    commitment_weight: float = 0.0
 
     def build_model(self) -> EchoedSpeechReconModel:
         return _echoed_model(self.config, self.width_scale, self.vq_backend, self.compute_dtype)
@@ -245,14 +250,18 @@ class EchoedSpeechTask(Task):
 
     def loss(self, model, params, batch, rngs, train, variables=None):
         x, x_rir = self.model_inputs(batch)
-        recon, speech_perp, rir_perp = model.apply(
+        recon, speech_perp, rir_perp, vq_losses = model.apply(
             {"params": params}, x, x_rir, train=train,
-            train_encoder=self.train_encoder, rngs=rngs,
+            train_encoder=self.train_encoder, rngs=rngs, return_vq_losses=True,
         )
         recon = recon[..., : x.shape[-1]]
         recon_error = jnp.mean((recon - x) ** 2)
-        # loss = recon only (train_echoed_speech.py:89); VQ/codebooks frozen
-        return recon_error, {
+        # loss = recon only (train_echoed_speech.py:89); VQ/codebooks frozen.
+        # Optional commitment anchor for unfrozen encoders (non-compat).
+        loss = recon_error
+        if self.commitment_weight:
+            loss = loss + self.commitment_weight * (vq_losses["speech"] + vq_losses["rir"])
+        return loss, {
             "recon_error": recon_error,
             "speech_perplexity": speech_perp,
             "rir_perplexity": rir_perp,

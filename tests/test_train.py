@@ -261,3 +261,34 @@ def test_history_save_load(tmp_path, datasets):
     np.testing.assert_allclose(
         back["train"]["loss"], hist.finalize()["train"]["loss"]
     )
+
+
+def test_finetune_commitment_anchor(datasets):
+    """Non-compat option: commitment weight anchors unfrozen encoders to the
+    frozen codebooks (the reference's recon-only phase-2 loss collapses,
+    VALIDATION.md)."""
+    from acoustic_locating_vq_vae_tpu.train import EncoderFinetuneTask
+
+    train, _ = datasets
+    task = EncoderFinetuneTask(
+        config=SMALL, width_scale=WS, batch_size=8, commitment_weight=0.25
+    )
+    tr = Trainer(task, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(61), train)
+
+    # gradient flows to the encoders through the commitment term even though
+    # the decoder path detaches nothing extra
+    def loss_fn(p):
+        l, _ = task.loss(tr.model, p, jax.tree_util.tree_map(lambda a: a[:4], train), {"jitter": jax.random.PRNGKey(0)}, True)
+        return l
+
+    g = jax.grad(loss_fn)(st.params)
+    enc_grad = max(
+        float(jnp.abs(v).max())
+        for v in jax.tree_util.tree_leaves(g["speech_model"]["_encoder"])
+    )
+    assert enc_grad > 0.0
+    # codebooks stay frozen
+    assert float(jnp.abs(g["speech_model"]["_vq"]["codebook"]).max()) == 0.0
+    st, hist = tr.fit(st, train, None, num_updates=6)
+    assert np.isfinite(hist.finalize()["train"]["loss"]).all()
