@@ -25,7 +25,14 @@ REFERENCE_CPU_FRAMES_PER_SEC = 734.6  # measured 2026-08-16, scripts/bench_refer
 
 def main():
     import jax
-    import jax.numpy as jnp
+
+    # Persistent compile cache: repeat bench runs skip the multi-minute
+    # remote compiles of this environment.
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from acoustic_locating_vq_vae_tpu import data as D
     from acoustic_locating_vq_vae_tpu.train import EchoedSpeechTask, Trainer

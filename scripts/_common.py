@@ -54,6 +54,11 @@ def setup(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:  # persistent compile cache across runs
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
     from acoustic_locating_vq_vae_tpu import data as D
     from acoustic_locating_vq_vae_tpu.parallel import make_mesh

@@ -203,3 +203,22 @@ def test_jitter_replaced_slots_stop_gradient():
     # all slots replaced (p=1) -> no gradient anywhere (reference assigns
     # from the detached clone, jitter.py:47-53)
     assert np.all(g == 0.0)
+
+
+def test_jitter_per_batch_mode():
+    """Fixed-variant: independent decisions per sample (vs the reference's
+    batch-shared quirk)."""
+    key = jax.random.PRNGKey(5)
+    x = jnp.arange(4 * 50 * 2, dtype=jnp.float32).reshape(4, 50, 2)
+    y = np.asarray(ops.jitter(x, key, 0.5, per_batch=True))
+    xn = np.asarray(x)
+    # shapes preserved, values always come from some neighbor or self
+    assert y.shape == xn.shape
+    shifts = []
+    for b in range(4):
+        shift = (y[b, 1:-1, 0] - xn[b, 1:-1, 0]) / 2.0  # -1, 0, +1 steps
+        assert np.isin(shift, [-1.0, 0.0, 1.0]).all()
+        shifts.append(shift)
+    # with p=0.5 over 48 positions, identical patterns across 4 samples are
+    # astronomically unlikely -> decisions are per-sample
+    assert any(not np.array_equal(shifts[0], s) for s in shifts[1:])

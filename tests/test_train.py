@@ -292,3 +292,14 @@ def test_finetune_commitment_anchor(datasets):
     assert float(jnp.abs(g["speech_model"]["_vq"]["codebook"]).max()) == 0.0
     st, hist = tr.fit(st, train, None, num_updates=6)
     assert np.isfinite(hist.finalize()["train"]["loss"]).all()
+
+
+def test_make_task_factory():
+    from acoustic_locating_vq_vae_tpu.train import make_task
+
+    t = make_task("speech", config=SMALL, width_scale=WS)
+    assert t.name == "speech" and t.batch_size == 32
+    t = make_task("location", config=SMALL)
+    assert t.name == "location"
+    with pytest.raises(KeyError):
+        make_task("nope")
