@@ -51,3 +51,22 @@ def test_halo_is_only_cross_device_traffic():
     want = _reference_conv(x, kernel)
     # boundaries between shards (every 10 frames) are seamless
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_param_partition_rules():
+    """sharding_rules: conv column/row parallel pairs, codebook rows, dense."""
+    from acoustic_locating_vq_vae_tpu.parallel.sharding_rules import param_partition_spec
+    from jax.sharding import PartitionSpec as P
+
+    # conv_1-style kernel (k, in, out): column-parallel on large out
+    assert param_partition_spec(("a", "conv_1", "kernel"), (3, 201, 1024), 2) == P(None, None, "model")
+    # conv_2 1x1 (k, in, out): row-parallel on large in
+    assert param_partition_spec(("a", "conv_2", "kernel"), (1, 1024, 1024), 2) == P(None, "model", None)
+    # codebook (K, D): row sharding
+    assert param_partition_spec(("_vq", "codebook"), (1024, 128), 2) == P("model", None)
+    # small tensors stay replicated
+    assert param_partition_spec(("x", "kernel"), (3, 16, 16), 2) == P()
+    # dense (in, out): shard the big input dim
+    assert param_partition_spec(("fc_1", "Dense_0", "kernel"), (205824, 1024), 2) == P("model", None)
+    # indivisible dims stay replicated
+    assert param_partition_spec(("a", "conv_1", "kernel"), (3, 201, 1023), 2) == P()
