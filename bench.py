@@ -27,12 +27,16 @@ def main():
     import jax
 
     # Persistent compile cache: repeat bench runs skip the multi-minute
-    # remote compiles of this environment.
-    try:
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # remote compiles of this environment. TPU-only (cached CPU executables
+    # from the remote compiler can mismatch host CPU features).
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile_tpu")
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
 
     from acoustic_locating_vq_vae_tpu import data as D
     from acoustic_locating_vq_vae_tpu.train import EchoedSpeechTask, Trainer

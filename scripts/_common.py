@@ -54,11 +54,17 @@ def setup(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    try:  # persistent compile cache across runs
-        jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    if args.platform != "cpu":
+        # Persistent compile cache across runs. TPU-only: in this environment
+        # CPU executables are AOT-compiled on a remote machine whose CPU
+        # features differ from the host, and reloading them risks SIGILL.
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_compile_tpu")
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
 
     from acoustic_locating_vq_vae_tpu import data as D
     from acoustic_locating_vq_vae_tpu.parallel import make_mesh

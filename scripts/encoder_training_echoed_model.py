@@ -6,7 +6,13 @@ from _common import base_parser, setup, task_kwargs, trainer_kwargs
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    p = base_parser(__doc__)
+    p.add_argument(
+        "--commitment-weight", type=float, default=0.0,
+        help="anchor unfrozen encoders to the frozen codebooks (0.0 = reference "
+        "parity, which collapses the codebooks — see VALIDATION.md; 0.25 recommended)",
+    )
+    args = p.parse_args()
     config, mesh, train, val = setup(args)
 
     import jax
@@ -15,7 +21,9 @@ def main():
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
     store = StageStore(args.store_dir)
-    task = EncoderFinetuneTask(**task_kwargs(args, config))
+    task = EncoderFinetuneTask(
+        **task_kwargs(args, config), commitment_weight=args.commitment_weight
+    )
     trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 4), train)
 
