@@ -257,8 +257,16 @@ class Trainer:
             if not self.on_the_fly:
                 raise ValueError("train_data=None requires on_the_fly=True")
             if val_data is None:
-                raise ValueError("on-the-fly training still needs val_data (or a 1-sample stub)")
-            train_data = _take(val_data, 1)  # placeholder operand; unused on train steps
+                raise ValueError("on-the-fly training still needs val_data (or a small stub)")
+            # Placeholder operand (unused on train steps); must divide the
+            # data mesh axis for the batch sharding.
+            n_stub = self.mesh.shape["data"]
+            train_data = _take(val_data, n_stub)
+            if int(train_data.speech_spec.shape[0]) < n_stub:
+                reps = -(-n_stub // int(train_data.speech_spec.shape[0]))
+                train_data = jax.tree_util.tree_map(
+                    lambda a: jnp.tile(a, (reps,) + (1,) * (a.ndim - 1))[:n_stub], train_data
+                )
         start = 0
         if resume:
             restored = self.restore_latest(state)

@@ -303,3 +303,18 @@ def test_make_task_factory():
     assert t.name == "location"
     with pytest.raises(KeyError):
         make_task("nope")
+
+
+def test_on_the_fly_under_data_parallel_mesh(datasets):
+    """In-step synthesis composes with batch sharding over the 8-device mesh."""
+    _, val = datasets
+    mesh = make_mesh(data=8)
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(
+        task, mesh=mesh, log_every=1000, verbose=False, on_the_fly=True,
+        synth_kwargs=dict(rir_chunk=2048),
+    )
+    st = tr.init_state(jax.random.PRNGKey(71), val)
+    st, hist = tr.fit(st, None, val, num_updates=6)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["loss"]).all()
