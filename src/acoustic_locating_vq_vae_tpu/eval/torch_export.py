@@ -24,7 +24,13 @@ from typing import Any, Dict
 
 import numpy as np
 
-__all__ = ["vqvae_state_dict", "location_state_dict", "save_reference_state_dicts"]
+__all__ = [
+    "vqvae_state_dict",
+    "decoder_state_dict",
+    "echoed_state_dict",
+    "location_state_dict",
+    "save_reference_state_dicts",
+]
 
 
 def _t(kernel) -> "np.ndarray":
@@ -83,6 +89,36 @@ def vqvae_state_dict(params: Any, num_residual_layers: int, vq_stats: Any = None
     _stack_entries(dec["residual_stack"], "_decoder._residual_stack", num_residual_layers, out)
     for i in (1, 2, 3):
         _conv_entry(dec[f"conv_trans_{i}"], f"_decoder._conv_trans_{i}", out, transposed=True)
+    return out
+
+
+def decoder_state_dict(
+    dec_params: Any, num_residual_layers: int, prefix: str = "_decoder"
+) -> Dict[str, np.ndarray]:
+    """State dict for a standalone reference ``DeconvolutionalDecoder``
+    (deconvolutional_decoder.py:7-79) from our decoder param subtree."""
+    out: Dict[str, np.ndarray] = {}
+    _conv_entry(dec_params["conv_1"], f"{prefix}._conv_1", out)
+    _stack_entries(dec_params["residual_stack"], f"{prefix}._residual_stack", num_residual_layers, out)
+    for i in (1, 2, 3):
+        _conv_entry(dec_params[f"conv_trans_{i}"], f"{prefix}._conv_trans_{i}", out, transposed=True)
+    return out
+
+
+def echoed_state_dict(
+    params: Any,
+    rir_residual_layers: int,
+    speech_residual_layers: int,
+    decoder_residual_layers: int,
+) -> Dict[str, np.ndarray]:
+    """State dict for the reference ``EchoedSpeechReconModel``
+    (echoed_speech_model.py:9-56): the two sub-VQ-VAEs under their attribute
+    prefixes plus the fresh composite decoder."""
+    out: Dict[str, np.ndarray] = {}
+    for name, layers in (("rir_model", rir_residual_layers), ("speech_model", speech_residual_layers)):
+        for k, v in vqvae_state_dict(params[name], num_residual_layers=layers).items():
+            out[f"{name}.{k}"] = v
+    out.update(decoder_state_dict(params["_decoder"], decoder_residual_layers))
     return out
 
 

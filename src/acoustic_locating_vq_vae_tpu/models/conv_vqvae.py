@@ -130,6 +130,16 @@ class ConvolutionalVQVAE(nn.Module):
     # for full MXU rate), parameters and losses stay f32, and the VQ
     # assignment always runs in f32 so code selection is exact.
     compute_dtype: object = None
+    # Reference quirk (vector_quantizer.py:32): the torch VQ does
+    # ``inputs.view(-1, D)`` on the CHANNELS-FIRST (B, D, L) latent without
+    # permuting, so each quantized "vector" is D consecutive samples along
+    # the time axis of one channel (chunks cross channel boundaries when
+    # L % D != 0) — NOT the D-dim embedding across channels that the VQ-VAE
+    # paper (and the code's apparent intent) quantizes. Row count is B*L
+    # either way, so every downstream shape is identical; only the vector
+    # contents differ. True (memory-order) semantics are the compat default;
+    # ``compat_vq_flatten=False`` quantizes proper channels-last D-vectors.
+    compat_vq_flatten: bool = True
 
     def setup(self):
         self._encoder = ConvolutionalEncoder(
@@ -176,6 +186,14 @@ class ConvolutionalVQVAE(nn.Module):
             # Mean over time (convolutional_vq_vae.py:96-97), keepdims like torch.
             z = jnp.mean(z, axis=1, keepdims=True)
         # VQ assignment in f32 regardless of compute dtype.
+        if self.compat_vq_flatten:
+            # Feed the VQ the reference's channels-first layout: jnp reshape
+            # is row-major like torch's contiguous .view, so the quantizer's
+            # internal reshape(-1, D) of (B, D, L) reproduces
+            # vector_quantizer.py:32 exactly. Convert quantized back to
+            # channels-last for the decoder (pure layout ops; free under XLA).
+            out = self._vq(jnp.swapaxes(z, 1, 2).astype(jnp.float32), train_vq=train_vq)
+            return out.replace(quantized=jnp.swapaxes(out.quantized, 1, 2))
         return self._vq(z.astype(jnp.float32), train_vq=train_vq)
 
     def __call__(

@@ -63,7 +63,9 @@ class TorchRef(torch.nn.Module):
         # outer skip adds relu(x1): the first block mutated x1 in place
         z = self._stack(x1, self.enc_res1, self.enc_res2) + torch.relu(x1)
         z = self.pre_vq(z)  # (B, D, L)
-        flat = z.permute(0, 2, 1).reshape(-1, z.shape[1])
+        # Reference memory-order flatten (vector_quantizer.py:32): view(-1, D)
+        # on the channels-first tensor, NO permute.
+        flat = z.reshape(-1, z.shape[1])
         dist = (
             flat.pow(2).sum(1, keepdim=True)
             + self.codebook.pow(2).sum(1)
@@ -72,11 +74,10 @@ class TorchRef(torch.nn.Module):
         idx = dist.argmin(1)
         onehot = torch.zeros(flat.shape[0], self.codebook.shape[0])
         onehot.scatter_(1, idx[:, None], 1)
-        q = (onehot @ self.codebook).reshape(z.shape[0], z.shape[2], z.shape[1])
+        q = (onehot @ self.codebook).reshape(z.shape)
         e_latent = tF.mse_loss(q.reshape(-1, z.shape[1]), flat)
         loss = e_latent + self.beta * e_latent  # q==sg(q) numerically at fwd
-        q = flat.reshape(z.shape[0], z.shape[2], z.shape[1]) + (q - flat.reshape(q.shape))
-        q = q.permute(0, 2, 1)
+        q = z + (q - z)
         avg = onehot.mean(0)
         perp = torch.exp(-torch.sum(avg * torch.log(avg + 1e-10)))
         h = self.dec_conv(q)

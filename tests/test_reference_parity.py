@@ -1,0 +1,321 @@
+"""Parity against the ACTUAL reference code at /root/reference.
+
+Round-1 parity tests compared against torch replicas rewritten inside the
+tests — a shared misreading would pass them. This suite imports the genuine
+reference modules (convolutional_vq_vae.py, echoed_speech_model.py,
+location_model.py, specsdataset.py, data_preprocessing.py), moves weights
+across with eval.torch_export / eval.torch_import, and asserts forward
+equivalence and on-disk dataset interop.
+
+Skipped wholesale if /root/reference is not mounted.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acoustic_locating_vq_vae_tpu.data import (
+    DatasetConfig,
+    SampleBatch,
+    save_dataset_reference_format,
+)
+from acoustic_locating_vq_vae_tpu.data.collate import spec_dataset_preprocessing
+from acoustic_locating_vq_vae_tpu.data.dataset import SpecsDataset as OurSpecsDataset
+from acoustic_locating_vq_vae_tpu.eval.torch_export import (
+    echoed_state_dict,
+    location_state_dict,
+    vqvae_state_dict,
+)
+from acoustic_locating_vq_vae_tpu.eval.torch_import import (
+    echoed_params,
+    location_params,
+    vqvae_params,
+)
+from acoustic_locating_vq_vae_tpu.models import (
+    ConvolutionalVQVAE,
+    EchoedSpeechReconModel,
+    LocationModule,
+)
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "src")), reason="reference snapshot not mounted"
+)
+
+if os.path.isdir(os.path.join(REFERENCE, "src")):
+    # Both roots are needed: the package lives under src/, but
+    # residual_stack.py:28 imports via the `src.` prefix.
+    sys.path.insert(0, os.path.join(REFERENCE, "src"))
+    sys.path.insert(0, REFERENCE)
+
+torch = pytest.importorskip("torch")
+
+
+def _ref_vqvae(**kw):
+    from acoustic_locating_vq_vae.vq_vae.convolutional_vq_vae import (
+        ConvolutionalVQVAE as RefVQVAE,
+    )
+
+    return RefVQVAE(**kw)
+
+
+# Small configs exercising both orientations; speech-style L (19) is not a
+# multiple of D (4) so the reference's memory-order VQ flattening
+# (vector_quantizer.py:32, chunks crossing channel boundaries) is covered.
+SPEECH_CFG = dict(
+    in_channels=5, num_hiddens=8, embedding_dim=4, num_residual_layers=3,
+    num_residual_hiddens=6, commitment_cost=0.25, num_embeddings=16,
+)
+RIR_CFG = dict(
+    in_channels=10, num_hiddens=8, embedding_dim=4, num_residual_layers=2,
+    num_residual_hiddens=6, commitment_cost=0.25, num_embeddings=16,
+    use_jitter=False, out_channels=1,
+)
+L_SPEECH, L_RIR = 19, 7
+
+
+def _flax_vqvae_and_ref(cfg, seed=0):
+    """Init our model, export its weights into the real reference module."""
+    model = ConvolutionalVQVAE(**cfg)
+    x0 = jnp.zeros((1, cfg["in_channels"], 5), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "jitter": jax.random.PRNGKey(seed + 1)}, x0
+    )
+    sd = vqvae_state_dict(variables["params"], num_residual_layers=cfg["num_residual_layers"])
+    ref = _ref_vqvae(**cfg)
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+    return model, variables, ref
+
+
+@pytest.mark.parametrize("cfg,length", [(SPEECH_CFG, L_SPEECH), (RIR_CFG, L_RIR)])
+def test_vqvae_forward_matches_real_reference(cfg, length):
+    model, variables, ref = _flax_vqvae_and_ref(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, cfg["in_channels"], length)).astype(np.float32)
+
+    loss, recon, perp = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        tloss, trecon, tperp = ref(torch.from_numpy(x))
+
+    np.testing.assert_allclose(np.asarray(recon), trecon.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(tloss), rtol=1e-5)
+    np.testing.assert_allclose(float(perp), float(tperp), rtol=1e-5)
+
+
+def test_get_latent_representation_matches_real_reference():
+    model, variables, ref = _flax_vqvae_and_ref(SPEECH_CFG, seed=7)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+
+    loss, q, perp, enc = model.apply(
+        variables, jnp.asarray(x), method=ConvolutionalVQVAE.get_latent_representation
+    )
+    with torch.no_grad():
+        tloss, tq, tperp, tenc = ref.get_latent_representation(torch.from_numpy(x))
+
+    # identical code assignments (exact one-hot match), same quantized layout
+    assert np.array_equal(np.asarray(enc), tenc.numpy())
+    np.testing.assert_allclose(np.asarray(q), tq.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(tloss), rtol=1e-5)
+    np.testing.assert_allclose(float(perp), float(tperp), rtol=1e-5)
+
+
+def test_encoder_average_pooling_matches_real_reference():
+    cfg = dict(SPEECH_CFG, encoder_average_pooling=True)
+    model, variables, ref = _flax_vqvae_and_ref(cfg, seed=3)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+    loss, recon, perp = model.apply(variables, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        tloss, trecon, tperp = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(recon), trecon.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(tloss), rtol=1e-5)
+
+
+def test_echoed_composite_matches_real_reference():
+    from acoustic_locating_vq_vae.vq_vae.echoed_speech_model import (
+        EchoedSpeechReconModel as RefEchoed,
+    )
+
+    rir = ConvolutionalVQVAE(**RIR_CFG)
+    speech = ConvolutionalVQVAE(**SPEECH_CFG)
+    model = EchoedSpeechReconModel(
+        rir_model=rir, speech_model=speech, out_channels=5, num_hiddens=8,
+        num_residual_layers=2, num_residual_hiddens=6,
+    )
+    x_speech = np.random.default_rng(3).standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+    x_rir = np.random.default_rng(4).standard_normal((2, 10, L_RIR)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(11), "jitter": jax.random.PRNGKey(12)},
+        jnp.asarray(x_speech), jnp.asarray(x_rir),
+    )
+    # The composite only calls the sub-encoders, so flax creates no params
+    # for the sub-decoders; graft FULL pretrained standalone trees in (the
+    # stage handoff, train_echoed_speech.py:18-19) so the exported state
+    # dict covers every reference key.
+    _, rir_vars, _ = _flax_vqvae_and_ref(RIR_CFG, seed=21)
+    _, speech_vars, _ = _flax_vqvae_and_ref(SPEECH_CFG, seed=22)
+    params = dict(variables["params"])
+    params["rir_model"] = rir_vars["params"]
+    params["speech_model"] = speech_vars["params"]
+    variables = {"params": params}
+
+    sd = echoed_state_dict(
+        variables["params"], rir_residual_layers=2, speech_residual_layers=3,
+        decoder_residual_layers=2,
+    )
+    ref = RefEchoed(
+        rir_model=_ref_vqvae(**RIR_CFG), speech_model=_ref_vqvae(**SPEECH_CFG),
+        out_channels=5, num_hiddens=8, num_residual_layers=2, num_residual_hiddens=6,
+        use_jitter=True,
+    )
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+
+    recon, sperp, rperp = model.apply(
+        variables, jnp.asarray(x_speech), jnp.asarray(x_rir), train=False
+    )
+    with torch.no_grad():
+        trecon, tsperp, trperp = ref(torch.from_numpy(x_speech), torch.from_numpy(x_rir))
+    np.testing.assert_allclose(np.asarray(recon), trecon.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(sperp), float(tsperp), rtol=1e-5)
+    np.testing.assert_allclose(float(rperp), float(trperp), rtol=1e-5)
+
+
+def test_location_module_matches_real_reference():
+    from acoustic_locating_vq_vae.vq_vae.location_model.location_model import (
+        LocationModule as RefLocation,
+    )
+
+    loc = LocationModule(encoder_output_dim=7, num_hiddens=6, output_dim=1)
+    x = np.random.default_rng(5).standard_normal((3, 7, 6)).astype(np.float32)
+    variables = loc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    y = loc.apply(variables, jnp.asarray(x))
+
+    ref = RefLocation(encoder_output_dim=7, num_hiddens=6, output_dim=1)
+    sd = location_state_dict(variables["params"])
+    missing, unexpected = ref.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    ref.eval()
+    with torch.no_grad():
+        ty = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(y), ty.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_reference_trained_model_imports_into_framework():
+    """A REAL reference module trained a few steps transfers into the
+    framework via eval.torch_import with matching outputs (the reverse of
+    the export direction; pickle-as-API semantics, train_echoed_speech.py:18-19)."""
+    torch.manual_seed(0)
+    ref = _ref_vqvae(**SPEECH_CFG)
+    opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
+    x_t = torch.randn(4, 5, L_SPEECH)
+    ref.train()
+    for _ in range(5):
+        opt.zero_grad()
+        vq_loss, recon, _ = ref(x_t)
+        # jitter makes training stochastic but weights update deterministically
+        loss = torch.nn.functional.mse_loss(recon, x_t) + vq_loss
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+    params = vqvae_params(ref)
+    model = ConvolutionalVQVAE(**SPEECH_CFG)
+    x = np.random.default_rng(8).standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+    loss, recon, perp = model.apply({"params": params}, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        tloss, trecon, tperp = ref(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(recon), trecon.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(loss), float(tloss), rtol=1e-5)
+    np.testing.assert_allclose(float(perp), float(tperp), rtol=1e-5)
+
+
+def test_export_import_roundtrip_is_identity():
+    model = ConvolutionalVQVAE(**SPEECH_CFG)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(42), "jitter": jax.random.PRNGKey(43)},
+        jnp.zeros((1, 5, 5), jnp.float32),
+    )
+    sd = vqvae_state_dict(variables["params"], num_residual_layers=3)
+    back = vqvae_params(sd)
+    flat_orig = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat_back = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(back)}
+    assert len(flat_back) == len(flat_orig)
+    for k, v in flat_orig:
+        np.testing.assert_array_equal(np.asarray(v), flat_back[jax.tree_util.keystr(k)])
+
+
+def test_dataset_roundtrip_through_real_reference_reader():
+    """Framework-written reference-format dataset reads back through the REAL
+    SpecsDataset + spec_dataset_preprocessing (specsdataset.py:9-45,
+    data_preprocessing.py:55-89) with identical arrays and coordinates."""
+    import tempfile
+    import types
+
+    # data_preprocessing.py:4 imports the external rir-generator C++ package
+    # at module level but spec_dataset_preprocessing never uses it; stub it
+    # (the package is not installable here — zero egress).
+    sys.modules.setdefault("rir_generator", types.ModuleType("rir_generator"))
+    from acoustic_locating_vq_vae.data_preprocessing import (
+        spec_dataset_preprocessing as ref_collate,
+    )
+    from acoustic_locating_vq_vae.rir_dataset_generator.specsdataset import (
+        SpecsDataset as RefSpecsDataset,
+    )
+
+    rng = np.random.default_rng(9)
+    B, F, T = 3, 7, 510  # T >= 500 so the reference collate keeps every sample
+    batch = SampleBatch(
+        speech_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        rir_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        echoed_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        fs=jnp.full((B,), 16000, jnp.int32),
+        theta=jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32)),
+        wiener_est=jnp.asarray(rng.standard_normal((B, F)).astype(np.float32)),
+    )
+    cfg = DatasetConfig(num_frames=500)
+
+    with tempfile.TemporaryDirectory() as root:
+        save_dataset_reference_format(root, batch, cfg)
+        ref_ds = RefSpecsDataset(root)
+        assert len(ref_ds) == B
+        # reference attribute surface round-trips
+        assert ref_ds.fs == cfg.fs and ref_ds.NFFT == cfg.NFFT
+        assert list(ref_ds.room_dimensions) == list(cfg.room_dimensions)
+
+        items = [ref_ds[i] for i in range(B)]
+        speech, rir, echoed, fs, theta, wiener = ref_collate(items)
+        assert speech.shape == (B, F, 500)
+        np.testing.assert_allclose(speech.numpy(), np.asarray(batch.speech_spec)[:, :, :500])
+        np.testing.assert_allclose(echoed.numpy(), np.asarray(batch.echoed_spec)[:, :, :500])
+        np.testing.assert_allclose(wiener.numpy(), np.asarray(batch.wiener_est))
+        np.testing.assert_allclose(
+            theta.numpy().reshape(-1), np.asarray(batch.theta), rtol=1e-6
+        )
+
+        # our collate on the real reader's items agrees with the real collate
+        ours = spec_dataset_preprocessing(
+            [OurSpecsDataset(root)[i] for i in range(B)], num_frames=500
+        )
+        np.testing.assert_allclose(ours[0], speech.numpy())
+
+        # coordinate helper parity (specsdataset.py:38-45)
+        th = np.asarray(batch.theta, np.float64)
+        ref_coords = np.stack([ref_ds.get_source_coordinates(np.atleast_1d(t))[0] for t in th])
+        our_coords = OurSpecsDataset(root).get_source_coordinates(th)
+        np.testing.assert_allclose(our_coords, ref_coords, rtol=1e-6)

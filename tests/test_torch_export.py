@@ -86,15 +86,16 @@ class TorchRefVQVAE(torch.nn.Module):
                 self._embedding = torch.nn.Embedding(K, D)
 
             def forward(self, z):  # z (B, D, L)
-                flat = z.permute(0, 2, 1).reshape(-1, z.shape[1])
+                # memory-order flatten, as the real reference
+                # (vector_quantizer.py:32): view(-1, D) with NO permute
+                flat = z.reshape(-1, z.shape[1])
                 d = (
                     flat.pow(2).sum(1, keepdim=True)
                     + self._embedding.weight.pow(2).sum(1)
                     - 2 * flat @ self._embedding.weight.t()
                 )
                 idx = d.argmin(1)
-                q = self._embedding.weight[idx].reshape(z.shape[0], z.shape[2], z.shape[1])
-                return q.permute(0, 2, 1)
+                return self._embedding.weight[idx].reshape(z.shape)
 
         self._encoder = Enc()
         self._pre_vq_conv = torch.nn.Conv1d(H, D, 3, padding=1)
