@@ -22,6 +22,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src
 # host's CPU (scripts/bench_reference_cpu.py; see BASELINE.md).
 REFERENCE_CPU_FRAMES_PER_SEC = 734.6  # measured 2026-08-16, scripts/bench_reference_cpu.py
 
+# TPU v5e peak bf16 matmul throughput (public spec) — denominator for the
+# MFU-style second metric, so the headline doesn't rest solely on the
+# 1-CPU-core torch baseline.
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def _conv_flops(b, l, cin, cout, k):  # one Conv1d, stride 1, length-preserving
+    return 2.0 * b * l * cin * cout * k
+
+
+def echoed_step_model_tflops(cfg, batch_size: int) -> float:
+    """Analytic model FLOPs of one echoed-speech TRAINING step at the
+    reference configuration (train_echoed_speech.py:21-31): frozen speech +
+    RIR encoder forwards (stop-gradient, so forward only) plus the trained
+    composite decoder at 3x forward (fwd + backward wrt activations and
+    weights). Matmul/conv terms only — elementwise ops are bandwidth, not
+    FLOPs, on TPU."""
+    B, F, T = batch_size, cfg.num_freq, cfg.num_frames  # 64, 201, 500
+    H, K = 1024, 1024
+
+    def encoder(l, cin, d, rh, layers):
+        f = _conv_flops(B, l, cin, H, 3)  # enc conv_1
+        f += layers * (_conv_flops(B, l, H, rh, 3) + _conv_flops(B, l, rh, H, 1))
+        f += _conv_flops(B, l, H, d, 3)  # pre_vq
+        f += 2.0 * (B * l) * d * K  # VQ distance cross-term matmul
+        return f
+
+    speech = encoder(T, F, 128, 1024, 3)  # train_speech.py:32-38
+    rir = encoder(F, T, 64, 64, 2)  # train_rir.py:125-136 (transposed input)
+
+    dec_in = 128 + 64
+    dec = _conv_flops(B, T, dec_in, H, 3)
+    dec += 2 * (_conv_flops(B, T, H, 1024, 3) + _conv_flops(B, T, 1024, H, 1))
+    dec += 2 * _conv_flops(B, T, H, H, 3) + _conv_flops(B, T, H, F, 3)
+
+    return (speech + rir + 3.0 * dec) / 1e12
+
 
 def main():
     import jax
@@ -69,6 +106,8 @@ def main():
     dt = min(windows)
 
     frames_per_sec = task.batch_size * cfg.num_frames / dt
+    tflops_per_step = echoed_step_model_tflops(cfg, task.batch_size)
+    tflops_per_sec = tflops_per_step / dt
     out = {
         "metric": "echoed_speech_train_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 1),
@@ -78,6 +117,11 @@ def main():
             if REFERENCE_CPU_FRAMES_PER_SEC
             else None
         ),
+        # Honest second metric (independent of the CPU baseline): analytic
+        # model FLOPs per step / measured step time, vs v5e bf16 peak.
+        "model_tflops_per_step": round(tflops_per_step, 3),
+        "model_tflops_per_sec": round(tflops_per_sec, 1),
+        "mfu_vs_v5e_bf16_peak": round(tflops_per_sec / V5E_PEAK_BF16_TFLOPS, 3),
     }
     print(json.dumps(out))
 

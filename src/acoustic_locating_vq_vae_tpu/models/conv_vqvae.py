@@ -178,7 +178,7 @@ class ConvolutionalVQVAE(nn.Module):
     def get_embedding_dim(self) -> int:
         return self.embedding_dim
 
-    def _encode(self, x: jnp.ndarray, train_vq: bool) -> VQOutput:
+    def _encode(self, x: jnp.ndarray, train_vq: bool, need_encodings: bool = False) -> VQOutput:
         z = jnp.swapaxes(x, -1, -2)  # (B, C, L) -> (B, L, C)
         z = self._encoder(z)
         z = self._pre_vq_conv(z)
@@ -192,9 +192,15 @@ class ConvolutionalVQVAE(nn.Module):
             # internal reshape(-1, D) of (B, D, L) reproduces
             # vector_quantizer.py:32 exactly. Convert quantized back to
             # channels-last for the decoder (pure layout ops; free under XLA).
-            out = self._vq(jnp.swapaxes(z, 1, 2).astype(jnp.float32), train_vq=train_vq)
+            out = self._vq(
+                jnp.swapaxes(z, 1, 2).astype(jnp.float32),
+                train_vq=train_vq,
+                need_encodings=need_encodings,
+            )
             return out.replace(quantized=jnp.swapaxes(out.quantized, 1, 2))
-        return self._vq(z.astype(jnp.float32), train_vq=train_vq)
+        return self._vq(
+            z.astype(jnp.float32), train_vq=train_vq, need_encodings=need_encodings
+        )
 
     def __call__(
         self, x: jnp.ndarray, train: bool = True, train_vq: bool = True
@@ -204,8 +210,12 @@ class ConvolutionalVQVAE(nn.Module):
         recon = self._decoder(out.quantized, train=train)
         return out.loss, jnp.swapaxes(recon, -1, -2), out.perplexity
 
-    def get_latent_representation(self, x: jnp.ndarray, train_vq: bool = False):
+    def get_latent_representation(
+        self, x: jnp.ndarray, train_vq: bool = False, need_encodings: bool = True
+    ):
         """(loss, quantized (B, D, L), perplexity, encodings (B*L, K)) —
-        the reference return layout (convolutional_vq_vae.py:102-105)."""
-        out = self._encode(x, train_vq)
+        the reference return layout (convolutional_vq_vae.py:102-105).
+        ``need_encodings=False`` returns None in the last slot and skips
+        materializing the (B*L, K) one-hot (64 MB at speech scale)."""
+        out = self._encode(x, train_vq, need_encodings=need_encodings)
         return out.loss, jnp.swapaxes(out.quantized, -1, -2), out.perplexity, out.encodings

@@ -75,10 +75,10 @@ class EchoedSpeechReconModel(nn.Module):
         encoders, the anchor the reference's phase-2 recon-only loss lacks —
         see VALIDATION.md on codebook collapse)."""
         rir_vq_loss, rir_q, rir_perp, _ = self.rir_model.get_latent_representation(
-            spec_in_rir, train_vq=False
+            spec_in_rir, train_vq=False, need_encodings=False
         )  # (B, D_rir, L_rir)
         speech_vq_loss, speech_q, speech_perp, _ = self.speech_model.get_latent_representation(
-            spec_in, train_vq=False
+            spec_in, train_vq=False, need_encodings=False
         )  # (B, D_speech, L_speech)
 
         size_diff = speech_q.shape[2] - rir_q.shape[2]

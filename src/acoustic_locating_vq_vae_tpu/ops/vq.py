@@ -24,7 +24,7 @@ Pallas kernel (ops/vq_pallas.py) can drop in; set ``backend="pallas"``.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +57,12 @@ class VQOutput(struct.PyTreeNode):
     loss: jnp.ndarray
     quantized: jnp.ndarray  # straight-through, input shape
     perplexity: jnp.ndarray
-    encodings: jnp.ndarray  # one-hot (N, K), reference return layout
     indices: jnp.ndarray  # (N,) code ids (extra, not in reference)
+    # One-hot (N, K), reference return layout. Only materialized when the
+    # caller passes need_encodings=True: at speech scale this is a
+    # (16k, 1024) f32 tensor (64 MB of HBM) that only the location stage
+    # ever reads — training steps never pay for it.
+    encodings: Optional[jnp.ndarray] = None
 
 
 class VectorQuantizer(nn.Module):
@@ -97,9 +101,12 @@ class VectorQuantizer(nn.Module):
                 "codebook", cb_init, (self.num_embeddings, self.embedding_dim)
             )
 
-    def __call__(self, inputs: jnp.ndarray, train_vq: bool = True) -> VQOutput:
+    def __call__(
+        self, inputs: jnp.ndarray, train_vq: bool = True, need_encodings: bool = False
+    ) -> VQOutput:
         """``inputs``: (..., D) latents (channels last). Returns VQOutput whose
-        ``quantized`` has the input shape."""
+        ``quantized`` has the input shape; ``encodings`` is None unless
+        ``need_encodings=True``."""
         input_shape = inputs.shape
         flat = inputs.reshape(-1, self.embedding_dim)
         codebook = self.codebook_var.value if self.ema else self.codebook
@@ -152,8 +159,12 @@ class VectorQuantizer(nn.Module):
         avg_probs = counts / flat.shape[0]
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
-        encodings = jax.nn.one_hot(indices, self.num_embeddings, dtype=flat.dtype)
+        encodings = (
+            jax.nn.one_hot(indices, self.num_embeddings, dtype=flat.dtype)
+            if need_encodings
+            else None
+        )
         return VQOutput(
-            loss=loss, quantized=ste, perplexity=perplexity, encodings=encodings, indices=indices
+            loss=loss, quantized=ste, perplexity=perplexity, indices=indices, encodings=encodings
         )
 

@@ -327,6 +327,7 @@ class LocationTask(Task):
             {"params": composite_params["rir_model"]},
             x_trans,
             method=composite.rir_model.get_latent_representation,
+            need_encodings=self.input_mode == "encodings",
         )
         if self.input_mode == "quantized":
             feats = jnp.swapaxes(q, 1, 2)  # (B, F, D_rir)

@@ -208,3 +208,17 @@ def test_location_module_shapes_and_gradients():
 
     g = jax.grad(loss_fn)(variables["params"])
     assert float(jnp.abs(g["fc_1"]["Dense_0"]["kernel"]).max()) > 0.0
+
+
+def test_encodings_not_materialized_unless_requested():
+    """Training paths never pay for the (B*L, K) one-hot: VQOutput.encodings
+    defaults to None; get_latent_representation(need_encodings=False) skips it."""
+    x = jnp.ones((2, 5, 17))
+    model = ConvolutionalVQVAE(**CFG)
+    variables = model.init({"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1)}, x)
+    _, _, _, enc = model.apply(
+        variables, x, method=model.get_latent_representation, need_encodings=False
+    )
+    assert enc is None
+    _, _, _, enc = model.apply(variables, x, method=model.get_latent_representation)
+    assert enc is not None and enc.shape == (2 * 17, 16)

@@ -114,7 +114,7 @@ def test_vq_forward_matches_reference_equations():
     params = vq.init(jax.random.PRNGKey(0), jnp.asarray(x))
     cb = np.asarray(params["params"]["codebook"])
 
-    out = vq.apply(params, jnp.asarray(x))
+    out = vq.apply(params, jnp.asarray(x), need_encodings=True)
     tx = torch.from_numpy(x).requires_grad_(True)
     tloss, tste, tperp, tonehot = _torch_vq(tx, torch.from_numpy(cb), 0.25, True)
 
