@@ -10,6 +10,16 @@ from _common import base_parser, setup, trainer_kwargs
 def main():
     p = base_parser(__doc__)
     p.add_argument("--width-scale", type=float, default=1.0)
+    p.add_argument(
+        "--preset", choices=["compat", "fixed"], default="compat",
+        help="compat = exact reference configuration; fixed = best validated "
+        "configuration (anchored fine-tune commitment_weight=0.25 + "
+        "quantized-latent location input, VALIDATION.md)",
+    )
+    p.add_argument("--commitment-weight", type=float, default=None,
+                   help="override the preset's fine-tune VQ anchor weight")
+    p.add_argument("--location-input-mode", choices=["encodings", "quantized"], default=None)
+    p.add_argument("--location-target-mode", choices=["normalized_angle", "sincos"], default=None)
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -24,12 +34,19 @@ def main():
         jax.random.PRNGKey(args.seed), train, val, store_dir=args.store_dir,
         config=config, width_scale=width, updates=updates, mesh=mesh,
         vq_backend=args.vq_backend, compute_dtype=args.compute_dtype,
+        preset=args.preset, vq_ema=args.vq_ema,
+        commitment_weight=args.commitment_weight,
+        location_input_mode=args.location_input_mode,
+        location_target_mode=args.location_target_mode,
         **trainer_kwargs(args),
     )
 
+    fixed = args.preset == "fixed"
     task = LocationTask(
         config=config, width_scale=width, vq_backend=args.vq_backend,
         compute_dtype=args.compute_dtype,
+        input_mode=args.location_input_mode or ("quantized" if fixed else "encodings"),
+        target_mode=args.location_target_mode or "normalized_angle",
     )
     metrics = evaluate_location(
         task, res["location"][0], res["finetune"][0], val if val is not None else train

@@ -74,9 +74,35 @@ def run_pipeline(
     mesh=None,
     vq_backend: str = "xla",
     compute_dtype: str = "float32",
+    preset: str = "compat",
+    vq_ema: Optional[bool] = None,
+    commitment_weight: Optional[float] = None,
+    location_input_mode: Optional[str] = None,
+    location_target_mode: Optional[str] = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
-    """Run all five stages; returns {stage: (params, history)}."""
+    """Run all five stages; returns {stage: (params, history, variables)}
+    (``variables`` carries non-trainable collections, e.g. EMA vq_stats;
+    empty dict for param-mode stages).
+
+    ``preset="compat"`` (default) is the reference configuration exactly.
+    ``preset="fixed"`` is the best VALIDATED configuration (VALIDATION.md):
+    the fine-tune stage anchors its unfrozen encoders with
+    ``commitment_weight=0.25`` (without it the reference's recon-only phase-2
+    loss collapses the speech codebook to perplexity 1), and the location
+    stage regresses from the dense quantized RIR latents
+    (``input_mode="quantized"``, held-out 0.225 theta/pi MSE vs the compat
+    path's trivial-predictor plateau at 0.338). Explicit keyword arguments
+    override the preset field-by-field.
+    """
+    if preset not in ("compat", "fixed"):
+        raise ValueError(f"unknown preset {preset!r}")
+    fixed = preset == "fixed"
+    vq_ema = bool(vq_ema) if vq_ema is not None else False
+    commitment_weight = commitment_weight if commitment_weight is not None else (0.25 if fixed else 0.0)
+    location_input_mode = location_input_mode or ("quantized" if fixed else "encodings")
+    location_target_mode = location_target_mode or "normalized_angle"
+
     updates = updates or {}
     results: Dict[str, Any] = {}
     kw = dict(
@@ -88,30 +114,36 @@ def run_pipeline(
 
     # Stage 1+2: the two VQ-VAEs.
     _, speech_state, h = run_stage(
-        SpeechVQVAETask(**kw), keys[0], train_data, val_data, store_dir, mesh,
+        SpeechVQVAETask(**kw, vq_ema=vq_ema), keys[0], train_data, val_data, store_dir, mesh,
         num_updates=updates.get("speech"), **trainer_kwargs,
     )
-    results["speech"] = (speech_state.params, h)
+    results["speech"] = (speech_state.params, h, speech_state.variables)
 
     _, rir_state, h = run_stage(
-        RirVQVAETask(**kw), keys[1], train_data, val_data, store_dir, mesh,
+        RirVQVAETask(**kw, vq_ema=vq_ema), keys[1], train_data, val_data, store_dir, mesh,
         num_updates=updates.get("rir"), **trainer_kwargs,
     )
-    results["rir"] = (rir_state.params, h)
+    results["rir"] = (rir_state.params, h, rir_state.variables)
 
-    # Stage 3: composite with grafted pretrained encoders.
-    echoed_task = EchoedSpeechTask(**kw)
+    # Stage 3: composite with grafted pretrained encoders. EMA-trained
+    # codebooks live in TrainState.variables["vq_stats"]; graft converts them
+    # into the composite's frozen param-mode codebook slots.
+    echoed_task = EchoedSpeechTask(**kw, commitment_weight=commitment_weight)
     trainer = Trainer(echoed_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
     state = trainer.init_state(keys[2], train_data)
     grafted = graft_pretrained(
-        state.params, speech_params=speech_state.params, rir_params=rir_state.params
+        state.params,
+        speech_params=speech_state.params,
+        rir_params=rir_state.params,
+        speech_variables=speech_state.variables if vq_ema else None,
+        rir_variables=rir_state.variables if vq_ema else None,
     )
     state = state.replace(params=grafted, opt_state=trainer.optimizer.init(grafted))
     state, h = trainer.fit(state, train_data, val_data, num_updates=updates.get("echoed"))
-    results["echoed"] = (state.params, h)
+    results["echoed"] = (state.params, h, state.variables)
 
     # Stage 4: encoder fine-tune continues from the composite.
-    ft_task = EncoderFinetuneTask(**kw)
+    ft_task = EncoderFinetuneTask(**kw, commitment_weight=commitment_weight)
     ft_trainer = Trainer(ft_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
     ft_state = ft_trainer.init_state(keys[3], train_data)
     seeded = _copy_tree(state.params)
@@ -119,14 +151,16 @@ def run_pipeline(
     ft_state, h = ft_trainer.fit(
         ft_state, train_data, val_data, num_updates=updates.get("finetune")
     )
-    results["finetune"] = (ft_state.params, h)
+    results["finetune"] = (ft_state.params, h, ft_state.variables)
 
     # Stage 5: location regression over the frozen fine-tuned composite.
-    loc_task = LocationTask(**kw)
+    loc_task = LocationTask(
+        **kw, input_mode=location_input_mode, target_mode=location_target_mode
+    )
     _, loc_state, h = run_stage(
         loc_task, keys[4], train_data, val_data, store_dir, mesh,
         num_updates=updates.get("location"), composite_params=ft_state.params,
         **trainer_kwargs,
     )
-    results["location"] = (loc_state.params, h)
+    results["location"] = (loc_state.params, h, loc_state.variables)
     return results

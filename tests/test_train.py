@@ -318,3 +318,33 @@ def test_on_the_fly_under_data_parallel_mesh(datasets):
     st, hist = tr.fit(st, None, val, num_updates=6)
     f = hist.finalize()
     assert np.isfinite(f["train"]["loss"]).all()
+
+
+def test_pipeline_fixed_preset_with_ema_handoff(datasets):
+    """preset='fixed' (anchored finetune + quantized-latent location,
+    VALIDATION.md) with EMA codebooks: the EMA-learned stage-1/2 codebooks
+    (living in vq_stats, not params) must be grafted into the composite's
+    frozen param-mode codebook slots."""
+    train, val = datasets
+    res = run_pipeline(
+        jax.random.PRNGKey(9), train, val, config=SMALL, width_scale=WS,
+        mesh=make_mesh(data=8), verbose=False, preset="fixed", vq_ema=True,
+        updates=dict(speech=8, rir=8, echoed=6, finetune=4, location=8),
+    )
+    # EMA stages keep the codebook out of params
+    assert "_vq" not in res["speech"][0] or "codebook" not in res["speech"][0].get("_vq", {})
+    speech_cb = np.asarray(res["speech"][2]["vq_stats"]["_vq"]["codebook"])
+    rir_cb = np.asarray(res["rir"][2]["vq_stats"]["_vq"]["codebook"])
+    np.testing.assert_array_equal(
+        np.asarray(res["echoed"][0]["speech_model"]["_vq"]["codebook"]), speech_cb
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res["echoed"][0]["rir_model"]["_vq"]["codebook"]), rir_cb
+    )
+    # fixed preset ran the quantized-latent location head: its fc_1 input is
+    # F * D_rir (dense latents), not F * K (one-hot)
+    d_rir = res["echoed"][0]["rir_model"]["_vq"]["codebook"].shape[1]
+    fc1_in = res["location"][0]["fc_1"]["Dense_0"]["kernel"].shape[0]
+    assert fc1_in == SMALL.num_freq * d_rir
+    for stage in ("speech", "rir", "echoed", "finetune", "location"):
+        assert np.isfinite(res[stage][1].finalize()["train"]["loss"]).all()

@@ -106,3 +106,25 @@ def test_ema_checkpoint_roundtrip(tmp_path):
         np.asarray(st3.variables["vq_stats"]["_vq"]["ema_counts"]).shape,
         np.asarray(st2.variables["vq_stats"]["_vq"]["ema_counts"]).shape,
     )
+
+
+def test_ema_statistics_global_under_dp_mesh():
+    """EMA codebook statistics under an 8-way data-parallel mesh equal the
+    single-device run bit-for-bit-ish: the count/sum reductions are over the
+    GLOBAL batch (SURVEY.md §5.8), not per-shard."""
+    from acoustic_locating_vq_vae_tpu.parallel import make_mesh
+
+    train = D.make_dataset(jax.random.PRNGKey(7), 16, SMALL, batch=16, rir_chunk=2048)
+
+    def run(mesh):
+        task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, vq_ema=True)
+        tr = Trainer(task, mesh=mesh, verbose=False)
+        st = tr.init_state(jax.random.PRNGKey(8), train)
+        st, _ = tr.fit(st, train, None, num_updates=5)
+        return jax.device_get(st.variables["vq_stats"]["_vq"])
+
+    single = run(make_mesh(data=1))
+    sharded = run(make_mesh(data=8))
+    np.testing.assert_allclose(sharded["ema_counts"], single["ema_counts"], rtol=1e-5)
+    np.testing.assert_allclose(sharded["ema_sums"], single["ema_sums"], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sharded["codebook"], single["codebook"], rtol=1e-4, atol=1e-6)
