@@ -188,6 +188,32 @@ class Trainer:
             # A DataLoader with batch > len(dataset) just yields the whole
             # set; clamp to match.
             take_n = min(batch_size, size)
+            n_data = self.mesh.shape["data"]
+            if n_data > 1 and take_n % n_data == 0 and size % n_data == 0:
+                # Per-shard (stratified) sampling: each data shard draws its
+                # slice of the batch from its OWN resident rows, so the
+                # gather never crosses devices — a global jnp.take with
+                # random indices over a batch-sharded dataset would force an
+                # all-gather of the whole dataset every step. Each shard
+                # folds its axis index into the shared key; the global batch
+                # still has no repeats, matching the reference's
+                # fresh-shuffle sampling in spirit (train_speech.py:57-61).
+                shard_map = jax.shard_map
+                per_shard, local_n = take_n // n_data, size // n_data
+
+                def local_sample(k, *arrays):
+                    k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                    idx = jax.random.choice(k, local_n, (per_shard,), replace=False)
+                    return tuple(jnp.take(a, idx, axis=0) for a in arrays)
+
+                leaves, treedef = jax.tree_util.tree_flatten(data)
+                specs = tuple(P("data", *([None] * (a.ndim - 1))) for a in leaves)
+                out = shard_map(
+                    local_sample, mesh=self.mesh,
+                    in_specs=(P(),) + specs, out_specs=specs,
+                )(key, *leaves)
+                return jax.tree_util.tree_unflatten(treedef, out)
+
             idx = jax.random.choice(key, size, (take_n,), replace=False)
             picked = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
             # Keep the gathered batch sharded over the data axis.

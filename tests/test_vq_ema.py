@@ -110,11 +110,13 @@ def test_ema_checkpoint_roundtrip(tmp_path):
 
 def test_ema_statistics_global_under_dp_mesh():
     """EMA codebook statistics under an 8-way data-parallel mesh equal the
-    single-device run bit-for-bit-ish: the count/sum reductions are over the
-    GLOBAL batch (SURVEY.md §5.8), not per-shard."""
+    single-device run: the count/sum reductions are over the GLOBAL batch
+    (SURVEY.md §5.8), not per-shard. Dataset size == batch size so per-shard
+    stratified sampling and global sampling draw the same multiset of rows
+    (EMA statistics are permutation-invariant)."""
     from acoustic_locating_vq_vae_tpu.parallel import make_mesh
 
-    train = D.make_dataset(jax.random.PRNGKey(7), 16, SMALL, batch=16, rir_chunk=2048)
+    train = D.make_dataset(jax.random.PRNGKey(7), 8, SMALL, batch=8, rir_chunk=2048)
 
     def run(mesh):
         task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, vq_ema=True)
