@@ -38,11 +38,13 @@ class ConvolutionalEncoder(nn.Module):
     compat_init: bool = True
     compat_inplace_relu: bool = True
     dtype: object = None
+    sequence_axis: object = None  # time-sharded mode (see ops/conv.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x1 = Conv1d(
-            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1"
+            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1",
+            sequence_axis=self.sequence_axis,
         )(x)
         stack = ResidualStack(
             self.num_hiddens,
@@ -53,6 +55,7 @@ class ConvolutionalEncoder(nn.Module):
             compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.dtype,
             name="residual_stack",
+            sequence_axis=self.sequence_axis,
         )
         out = stack(x1)
         # Reference quirk (see ops/residual.py docstring): the first block's
@@ -76,13 +79,17 @@ class DeconvolutionalDecoder(nn.Module):
     compat_init: bool = True
     compat_inplace_relu: bool = True
     dtype: object = None
+    sequence_axis: object = None  # time-sharded mode (see ops/conv.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         if self.use_jitter:
-            x = Jitter(self.jitter_probability, name="jitter")(x, train=train)
+            x = Jitter(
+                self.jitter_probability, name="jitter", sequence_axis=self.sequence_axis
+            )(x, train=train)
         x = Conv1d(
-            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1"
+            self.num_hiddens, kernel_size=3, padding=1, dtype=self.dtype, name="conv_1",
+            sequence_axis=self.sequence_axis,
         )(x)
         x = ResidualStack(
             self.num_hiddens,
@@ -93,10 +100,12 @@ class DeconvolutionalDecoder(nn.Module):
             compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.dtype,
             name="residual_stack",
+            sequence_axis=self.sequence_axis,
         )(x)
-        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_1")(x))
-        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_2")(x))
-        out = ConvTranspose1d(self.out_channels, dtype=self.dtype, name="conv_trans_3")(x)
+        seq = dict(sequence_axis=self.sequence_axis)
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_1", **seq)(x))
+        x = nn.relu(ConvTranspose1d(self.num_hiddens, dtype=self.dtype, name="conv_trans_2", **seq)(x))
+        out = ConvTranspose1d(self.out_channels, dtype=self.dtype, name="conv_trans_3", **seq)(x)
         # losses always accumulate in f32
         return out.astype(jnp.float32)
 
@@ -140,8 +149,22 @@ class ConvolutionalVQVAE(nn.Module):
     # contents differ. True (memory-order) semantics are the compat default;
     # ``compat_vq_flatten=False`` quantizes proper channels-last D-vectors.
     compat_vq_flatten: bool = True
+    # Sequence parallelism (SURVEY.md §5.7): name of the mesh axis sharding
+    # the TIME dimension when the model is applied inside a shard_map (see
+    # parallel.sequence.sequence_parallel_apply). Convs halo-exchange their
+    # k-1 boundary frames over ICI; VQ statistics and loss means reduce over
+    # the axis; assignment stays position-local. Requires
+    # compat_vq_flatten=False — the reference's memory-order flatten chunks
+    # across time positions, which a sharded time axis cannot reproduce.
+    sequence_axis: object = None
 
     def setup(self):
+        if self.sequence_axis is not None and self.compat_vq_flatten:
+            raise ValueError(
+                "sequence_axis requires compat_vq_flatten=False: the reference's "
+                "memory-order VQ flatten chunks across time positions and cannot "
+                "be computed with the time axis sharded"
+            )
         self._encoder = ConvolutionalEncoder(
             self.num_hiddens,
             self.num_residual_layers,
@@ -150,9 +173,11 @@ class ConvolutionalVQVAE(nn.Module):
             compat_init=self.compat_init,
             compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
+            sequence_axis=self.sequence_axis,
         )
         self._pre_vq_conv = Conv1d(
-            self.embedding_dim, kernel_size=3, padding=1, dtype=self.compute_dtype
+            self.embedding_dim, kernel_size=3, padding=1, dtype=self.compute_dtype,
+            sequence_axis=self.sequence_axis,
         )
         self._vq = VectorQuantizer(
             num_embeddings=self.num_embeddings,
@@ -161,6 +186,7 @@ class ConvolutionalVQVAE(nn.Module):
             backend=self.vq_backend,
             ema=self.vq_ema,
             ema_decay=self.vq_ema_decay,
+            sequence_axis=self.sequence_axis,
         )
         self._decoder = DeconvolutionalDecoder(
             out_channels=self.out_channels if self.out_channels is not None else self.in_channels,
@@ -173,6 +199,7 @@ class ConvolutionalVQVAE(nn.Module):
             compat_init=self.compat_init,
             compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
+            sequence_axis=self.sequence_axis,
         )
 
     def get_embedding_dim(self) -> int:
@@ -185,6 +212,10 @@ class ConvolutionalVQVAE(nn.Module):
         if self.encoder_average_pooling:
             # Mean over time (convolutional_vq_vae.py:96-97), keepdims like torch.
             z = jnp.mean(z, axis=1, keepdims=True)
+            if self.sequence_axis is not None:
+                import jax
+
+                z = jax.lax.pmean(z, self.sequence_axis)
         # VQ assignment in f32 regardless of compute dtype.
         if self.compat_vq_flatten:
             # Feed the VQ the reference's channels-first layout: jnp reshape

@@ -39,16 +39,31 @@ class Conv1d(nn.Module):
     # Compute dtype (e.g. jnp.bfloat16 for MXU-rate mixed precision);
     # parameters stay float32. None = float32 compute.
     dtype: object = None
+    # Sequence parallelism (SURVEY.md §5.7): when set, the module is being
+    # traced inside a shard_map whose ``sequence_axis`` shards the L (time)
+    # dimension; exchange (k-1)//2 boundary frames with the mesh neighbors
+    # over ICI (parallel/sequence.py halo_exchange) and convolve VALID —
+    # numerically identical to the unsharded SAME conv. Parameter shapes are
+    # unchanged, so the same checkpoint runs sharded or replicated.
+    sequence_axis: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel_init = kaiming_uniform_relu if self.init_mode == "kaiming" else torch_default_weight
         fan_in = self.kernel_size * x.shape[-1]
+        padding = [(self.padding, self.padding)]
+        if self.sequence_axis is not None and self.padding:
+            if self.stride != 1 or self.padding != (self.kernel_size - 1) // 2:
+                raise ValueError("sequence_axis requires stride-1 SAME convs")
+            from ..parallel.sequence import halo_exchange
+
+            x = halo_exchange(x, self.padding, self.sequence_axis)
+            padding = "VALID"
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size,),
             strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
+            padding=padding,
             use_bias=self.use_bias,
             kernel_init=kernel_init,
             bias_init=torch_default_bias(fan_in),

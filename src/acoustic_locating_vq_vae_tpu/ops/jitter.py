@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["Jitter", "jitter"]
+__all__ = ["Jitter", "jitter", "jitter_sharded"]
 
 
 def jitter(
@@ -53,12 +53,65 @@ def jitter(
     return jnp.where(mask, jax.lax.stop_gradient(gathered), x)
 
 
+def jitter_sharded(
+    x: jnp.ndarray,
+    key: jax.Array,
+    probability: float,
+    axis_name: str,
+    per_batch: bool = False,
+) -> jnp.ndarray:
+    """Jitter a TIME-SHARDED (B, L_local, D) shard inside a shard_map.
+
+    Same semantics as :func:`jitter` on the concatenated sequence: a 1-frame
+    halo exchange supplies the neighbors across shard boundaries, the ends of
+    the GLOBAL sequence clamp to their single neighbor, and each shard folds
+    its axis index into the key so decisions are independent per position.
+    """
+    from ..parallel.sequence import halo_exchange
+
+    n = jax.lax.axis_size(axis_name)
+    i = jax.lax.axis_index(axis_name)
+    key = jax.random.fold_in(key, i)
+
+    length = x.shape[1]
+    k_replace, k_dir = jax.random.split(key)
+    decision_shape = (x.shape[0], length) if per_batch else (length,)
+    replace = jax.random.bernoulli(k_replace, probability, decision_shape)
+    direction = jnp.where(jax.random.bernoulli(k_dir, 0.5, decision_shape), 1, -1)
+
+    xh = halo_exchange(x, 1, axis_name)  # (B, L_local + 2, D)
+    pos = jnp.arange(length) + 1  # position in the haloed shard
+    if per_batch:
+        pos = jnp.broadcast_to(pos, decision_shape)
+    neighbor = pos + direction
+    # Global-end clamping (jitter.py:57-61): first/last position of the whole
+    # sequence only has one neighbor.
+    gpos = i * length + (pos - 1)
+    neighbor = jnp.where(gpos == 0, pos + 1, neighbor)
+    neighbor = jnp.where(gpos == n * length - 1, pos - 1, neighbor)
+
+    if per_batch:
+        gathered = jnp.take_along_axis(xh, neighbor[:, :, None], axis=1)
+        mask = replace[:, :, None]
+    else:
+        gathered = xh[:, neighbor, :]
+        mask = replace[None, :, None]
+    return jnp.where(mask, jax.lax.stop_gradient(gathered), x)
+
+
 class Jitter(nn.Module):
     probability: float = 0.12
     per_batch: bool = False
+    # Set when traced inside a time-sharding shard_map (see ops/conv.py).
+    sequence_axis: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         if not train or self.probability <= 0.0:
             return x
+        if self.sequence_axis is not None:
+            return jitter_sharded(
+                x, self.make_rng("jitter"), self.probability, self.sequence_axis,
+                self.per_batch,
+            )
         return jitter(x, self.make_rng("jitter"), self.probability, self.per_batch)

@@ -42,6 +42,7 @@ class Residual(nn.Module):
     compat_init: bool = True
     compat_inplace_relu: bool = True
     dtype: object = None
+    sequence_axis: object = None  # time-sharded mode (see ops/conv.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -49,6 +50,7 @@ class Residual(nn.Module):
         h = Conv1d(
             self.num_residual_hiddens, kernel_size=3, padding=1, use_bias=False,
             init_mode="kaiming", name="conv_1", dtype=self.dtype,
+            sequence_axis=self.sequence_axis,
         )(rx)
         h = nn.relu(h)
         h = Conv1d(
@@ -71,6 +73,7 @@ class ResidualStack(nn.Module):
     compat_init: bool = True
     compat_inplace_relu: bool = True
     dtype: object = None
+    sequence_axis: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +82,7 @@ class ResidualStack(nn.Module):
                 self.num_hiddens, self.num_residual_hiddens, self.compat_init,
                 compat_inplace_relu=self.compat_inplace_relu,
                 dtype=self.dtype, name="residual",
+                sequence_axis=self.sequence_axis,
             )
             for _ in range(self.num_residual_layers):
                 x = block(x)
@@ -88,5 +92,6 @@ class ResidualStack(nn.Module):
                     self.num_hiddens, self.num_residual_hiddens, self.compat_init,
                     compat_inplace_relu=self.compat_inplace_relu,
                     dtype=self.dtype, name=f"residual_{i}",
+                    sequence_axis=self.sequence_axis,
                 )(x)
         return nn.relu(x)

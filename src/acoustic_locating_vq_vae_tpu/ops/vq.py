@@ -73,6 +73,11 @@ class VectorQuantizer(nn.Module):
     ema: bool = False  # optional EMA codebook update (off = reference parity)
     ema_decay: float = 0.99
     ema_eps: float = 1e-5
+    # Set when traced inside a shard_map that shards the time axis (SURVEY.md
+    # §5.7): loss means, code-usage counts, and EMA statistics are reduced
+    # over the axis so they equal the unsharded computation (assignment
+    # itself is position-local and needs no communication).
+    sequence_axis: object = None
 
     def setup(self):
         k = self.num_embeddings
@@ -118,7 +123,13 @@ class VectorQuantizer(nn.Module):
         else:
             indices, quantized = nearest_codebook(flat, codebook)
 
-        e_latent_loss = jnp.mean((jax.lax.stop_gradient(quantized) - flat) ** 2)
+        # Shard-local mean == global mean after pmean (equal shard sizes).
+        gmean = (
+            (lambda v: jax.lax.pmean(v, self.sequence_axis))
+            if self.sequence_axis is not None
+            else (lambda v: v)
+        )
+        e_latent_loss = gmean(jnp.mean((jax.lax.stop_gradient(quantized) - flat) ** 2))
         if self.ema:
             # Codebook learned from statistics, not gradient: loss carries
             # only the commitment term.
@@ -131,6 +142,9 @@ class VectorQuantizer(nn.Module):
                     .at[indices]
                     .add(sg_flat)
                 )
+                if self.sequence_axis is not None:
+                    counts = jax.lax.psum(counts, self.sequence_axis)
+                    sums = jax.lax.psum(sums, self.sequence_axis)
                 new_counts = self.ema_decay * self.ema_counts.value + (1 - self.ema_decay) * counts
                 new_sums = self.ema_decay * self.ema_sums.value + (1 - self.ema_decay) * sums
                 self.ema_counts.value = new_counts
@@ -143,11 +157,11 @@ class VectorQuantizer(nn.Module):
                 )
                 self.codebook_var.value = new_sums / smoothed[:, None]
         elif train_vq:
-            q_latent_loss = jnp.mean((quantized - jax.lax.stop_gradient(flat)) ** 2)
+            q_latent_loss = gmean(jnp.mean((quantized - jax.lax.stop_gradient(flat)) ** 2))
         else:
             # Frozen codebook: same value, no gradient (vector_quantizer.py:50).
             q_latent_loss = jax.lax.stop_gradient(
-                jnp.mean((quantized - flat) ** 2)
+                gmean(jnp.mean((quantized - flat) ** 2))
             )
         loss = q_latent_loss + self.commitment_cost * e_latent_loss
 
@@ -156,7 +170,11 @@ class VectorQuantizer(nn.Module):
 
         # Global (all-shards) code-usage statistics.
         counts = jnp.zeros(self.num_embeddings, flat.dtype).at[indices].add(1.0)
-        avg_probs = counts / flat.shape[0]
+        n_rows = flat.shape[0]
+        if self.sequence_axis is not None:
+            counts = jax.lax.psum(counts, self.sequence_axis)
+            n_rows = n_rows * jax.lax.axis_size(self.sequence_axis)
+        avg_probs = counts / n_rows
         perplexity = jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
         encodings = (

@@ -70,3 +70,159 @@ def test_param_partition_rules():
     assert param_partition_spec(("fc_1", "Dense_0", "kernel"), (205824, 1024), 2) == P("model", None)
     # indivisible dims stay replicated
     assert param_partition_spec(("a", "conv_1", "kernel"), (3, 201, 1023), 2) == P()
+
+
+# ---------------------------------------------------------------- model path
+
+SP_CFG = dict(
+    in_channels=5, num_hiddens=8, embedding_dim=4, num_residual_layers=2,
+    num_residual_hiddens=6, commitment_cost=0.25, num_embeddings=16,
+    compat_vq_flatten=False,  # required: memory-order flatten is time-global
+)
+
+
+def _sp_models():
+    from acoustic_locating_vq_vae_tpu.models import ConvolutionalVQVAE
+
+    replicated = ConvolutionalVQVAE(**SP_CFG)
+    sharded = ConvolutionalVQVAE(**SP_CFG, sequence_axis="data")
+    return replicated, sharded
+
+
+def test_model_sequence_parallel_forward_matches_replicated():
+    """Full ConvolutionalVQVAE with time sharded over the 8-device mesh:
+    (vq_loss, recon, perplexity) equal the replicated model (eval mode)."""
+    from acoustic_locating_vq_vae_tpu.parallel.sequence import sequence_parallel_apply
+
+    rng = np.random.default_rng(2)
+    mesh = make_mesh(data=8)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32))
+    replicated, sharded = _sp_models()
+    variables = replicated.init(
+        {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1)}, x
+    )
+    want_loss, want_recon, want_perp = replicated.apply(variables, x, train=False)
+    got_loss, got_recon, got_perp = sequence_parallel_apply(
+        sharded, variables, x, mesh, mesh_axis="data", train=False
+    )
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(got_perp), float(want_perp), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_recon), np.asarray(want_recon), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_model_sequence_parallel_gradients_match_replicated():
+    from acoustic_locating_vq_vae_tpu.parallel.sequence import sequence_parallel_apply
+
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(data=8)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32)).astype(np.float32))
+    replicated, sharded = _sp_models()
+    variables = replicated.init(
+        {"params": jax.random.PRNGKey(2), "jitter": jax.random.PRNGKey(3)}, x
+    )
+
+    def loss_rep(params):
+        vq_loss, recon, _ = replicated.apply({"params": params}, x, train=False)
+        return jnp.mean((recon - x) ** 2) + vq_loss
+
+    def loss_sp(params):
+        vq_loss, recon, _ = sequence_parallel_apply(
+            sharded, {"params": params}, x, mesh, train=False
+        )
+        return jnp.mean((recon - x) ** 2) + vq_loss
+
+    g_rep = jax.grad(loss_rep)(variables["params"])
+    g_sp = jax.grad(loss_sp)(variables["params"])
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_rep), jax.tree_util.tree_leaves_with_path(g_sp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
+def test_model_sequence_parallel_long_sequence():
+    """4000-frame sequence — 8x the reference's 500-frame truncation ceiling
+    (data_preprocessing.py:64-69) — runs time-sharded and matches replicated."""
+    from acoustic_locating_vq_vae_tpu.parallel.sequence import sequence_parallel_apply
+
+    rng = np.random.default_rng(4)
+    mesh = make_mesh(data=8)
+    x = jnp.asarray(rng.standard_normal((1, 5, 4000)).astype(np.float32))
+    replicated, sharded = _sp_models()
+    variables = replicated.init(
+        {"params": jax.random.PRNGKey(4), "jitter": jax.random.PRNGKey(5)},
+        jnp.zeros((1, 5, 16), jnp.float32),
+    )
+    want_loss, want_recon, _ = replicated.apply(variables, x, train=False)
+    got_loss, got_recon, _ = sequence_parallel_apply(sharded, variables, x, mesh, train=False)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_recon), np.asarray(want_recon), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_model_sequence_parallel_training_step():
+    """One full jitted training step (value_and_grad + adam) with jitter ON
+    and activations P(None, 'data', None): loss finite, params move."""
+    import optax
+
+    from acoustic_locating_vq_vae_tpu.parallel.sequence import sequence_parallel_apply
+
+    rng = np.random.default_rng(5)
+    mesh = make_mesh(data=8)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32))
+    # init params with the REPLICATED twin (identical param structure; the
+    # sharded model can only be traced inside a shard_map)
+    replicated, sharded = _sp_models()
+    variables = replicated.init(
+        {"params": jax.random.PRNGKey(6), "jitter": jax.random.PRNGKey(7)}, x
+    )
+    params = variables["params"]
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            vq_loss, recon, perp = sequence_parallel_apply(
+                sharded, {"params": p}, x, mesh, train=True, jitter_key=key
+            )
+            return jnp.mean((recon - x) ** 2) + vq_loss, perp
+
+        (loss, perp), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, perp
+
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    params, opt_state, loss, perp = step(params, opt_state, jax.random.PRNGKey(8))
+    assert np.isfinite(float(loss)) and np.isfinite(float(perp))
+    assert not np.array_equal(np.asarray(p0), np.asarray(jax.tree_util.tree_leaves(params)[0]))
+
+
+def test_jitter_sharded_semantics_across_boundaries():
+    """Every jittered position equals itself or a TRUE neighbor — including
+    across shard boundaries (halo) — and global ends clamp inward."""
+    from acoustic_locating_vq_vae_tpu.ops.jitter import jitter_sharded
+    from jax.sharding import PartitionSpec as P2
+
+    mesh = make_mesh(data=8)
+    L, D = 64, 3
+    # encode the global position in the features so provenance is checkable
+    x = jnp.arange(L, dtype=jnp.float32)[None, :, None] * jnp.ones((1, L, D))
+
+    out = jax.shard_map(
+        lambda a: jitter_sharded(a, jax.random.PRNGKey(0), 0.5, "data"),
+        mesh=mesh, in_specs=P2(None, "data", None), out_specs=P2(None, "data", None),
+    )(x)
+    got = np.asarray(out)[0, :, 0]
+    pos = np.arange(L)
+    ok = (got == pos) | (got == pos - 1) | (got == pos + 1)
+    assert ok.all(), np.where(~ok)
+    assert got[0] in (0.0, 1.0)  # global left end clamps right
+    assert got[-1] in (float(L - 1), float(L - 2))  # global right end clamps left
+    # with p=0.5 over 64 positions, some replacements happened
+    assert (got != pos).any()
