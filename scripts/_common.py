@@ -45,6 +45,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="EMA codebook learning for the VQ stages (default: gradient codebook, reference parity)",
     )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
+    p.add_argument(
+        "--wav-dir", default=None,
+        help="directory of 16 kHz wavs to use as the speech corpus for "
+        "on-device synthesis (the LibriSpeech role, genereate_dataset.py:93); "
+        "default: synthetic source-filter speech",
+    )
     return p
 
 
@@ -84,16 +90,22 @@ def setup(args):
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_val = jax.random.split(key)
+    pool = None
+    if getattr(args, "wav_dir", None):
+        from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+
+        pool = load_wav_dir(args.wav_dir, config.audio_samples)
+        print(f"speech corpus: {pool.shape[0]} wavs from {args.wav_dir}", flush=True)
     if args.data_dir:
         ds = D.SpecsDataset(args.data_dir)
         config = ds.config
         train = ds.load_all()
     else:
-        train = D.make_dataset(k_train, args.dataset_size, config)
+        train = D.make_dataset(k_train, args.dataset_size, config, speech_pool=pool)
     if args.val_dir:
         val = D.SpecsDataset(args.val_dir).load_all()
     elif args.val_size > 0:
-        val = D.make_dataset(k_val, args.val_size, config)
+        val = D.make_dataset(k_val, args.val_size, config, speech_pool=pool)
     else:
         val = None
     return config, mesh, train, val

@@ -36,10 +36,17 @@ def main():
     )
     size = min(args.dataset_size, 64) if args.smoke else args.dataset_size
 
+    pool = None
+    if args.wav_dir:
+        from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+
+        pool = load_wav_dir(args.wav_dir, config.audio_samples)
+        print(f"speech corpus: {pool.shape[0]} wavs from {args.wav_dir}")
+
     t0 = time.time()
     batch = D.make_dataset(
         jax.random.PRNGKey(args.seed), size, config,
-        fixed_rir=args.fixed_rir, fixed_speech=args.fixed_speech,
+        fixed_rir=args.fixed_rir, fixed_speech=args.fixed_speech, speech_pool=pool,
     )
     jax.block_until_ready(batch.speech_spec)
     dt = time.time() - t0

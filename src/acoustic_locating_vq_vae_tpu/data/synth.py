@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from ..dsp import (
@@ -130,13 +131,33 @@ def make_dataset(
     size: int,
     config: DatasetConfig = DatasetConfig(),
     batch: int = 32,
+    speech_pool=None,
     **kwargs,
 ) -> SampleBatch:
     """Generate a ``size``-sample dataset by concatenating jitted batches
-    (device-resident; ~1.2 MB/sample in f32)."""
+    (device-resident; ~1.2 MB/sample in f32).
+
+    ``speech_pool``: optional (n, audio_samples) real-corpus waveforms (e.g.
+    from :func:`..data.speech.load_wav_dir`); each sample convolves a
+    uniformly drawn utterance from the pool — the reference's
+    random-LibriSpeech-utterance-per-sample role (genereate_dataset.py:93-97).
+    Default draws from the on-device synthetic source-filter generator.
+    """
+    if speech_pool is not None:
+        speech_pool = np.asarray(speech_pool, np.float32)
+        if speech_pool.shape[1] != config.audio_samples:
+            raise ValueError(
+                f"speech_pool length {speech_pool.shape[1]} != config.audio_samples "
+                f"{config.audio_samples}"
+            )
     batches = []
     for i in range(0, size, batch):
         key, sub = jax.random.split(key)
         b = min(batch, size - i)
-        batches.append(synthesize_batch(sub, b, config, **kwargs))
+        kw = dict(kwargs)
+        if speech_pool is not None:
+            sub, k_pick = jax.random.split(sub)
+            idx = np.asarray(jax.random.randint(k_pick, (b,), 0, speech_pool.shape[0]))
+            kw["speech"] = jnp.asarray(speech_pool[idx])
+        batches.append(synthesize_batch(sub, b, config, **kw))
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)

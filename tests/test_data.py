@@ -103,3 +103,70 @@ def test_echoed_differs_from_clean_and_has_reverb_energy():
     clean = np.asarray(b.speech_spec)
     echoed = np.asarray(b.echoed_spec)
     assert np.abs(clean - echoed).max() > 1e-6
+
+
+def _write_wavs(path, n, num_samples, fs=16000):
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        w = (rng.standard_normal(num_samples) * 0.2).astype(np.float32)
+        if i == 0:  # int16 (the common corpus encoding)
+            wavfile.write(str(path / f"a{i}.wav"), fs, (w * 32767).astype(np.int16))
+        elif i == 1:  # stereo -> mono mean
+            wavfile.write(str(path / f"b{i}.wav"), fs, np.stack([w, w], axis=1))
+        elif i == 2:  # short clip -> zero-padded
+            wavfile.write(str(path / f"c{i}.wav"), fs, w[: num_samples // 2])
+        else:
+            wavfile.write(str(path / f"d{i}.wav"), fs, w)
+
+
+def test_load_wav_dir_formats_and_padding(tmp_path):
+    """The real-corpus reader (speech.py load_wav_dir): int16 scaling, stereo
+    downmix, crop/pad to num_samples, deterministic file order."""
+    from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+
+    N = 1600
+    _write_wavs(tmp_path, 5, N)
+    pool = load_wav_dir(str(tmp_path), N)
+    assert pool.shape == (5, N) and pool.dtype == np.float32
+    assert np.abs(pool).max() <= 1.0 + 1e-6  # int16 scaled into [-1, 1]
+    assert np.all(pool[2, N // 2:] == 0.0)  # short clip zero-padded
+    # limit= caps file count
+    assert load_wav_dir(str(tmp_path), N, limit=2).shape[0] == 2
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        load_wav_dir(str(empty), N)
+
+
+def test_make_dataset_from_wav_pool(tmp_path):
+    """End-to-end real-corpus path: wavs -> load_wav_dir -> make_dataset
+    (speech_pool=) -> SampleBatch whose speech_spec is the STFT of pool
+    utterances (genereate_dataset.py:93-97 role)."""
+    from acoustic_locating_vq_vae_tpu import dsp
+    from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+
+    cfg = D.DatasetConfig(
+        n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32
+    )
+    _write_wavs(tmp_path, 4, cfg.audio_samples)
+    pool = load_wav_dir(str(tmp_path), cfg.audio_samples)
+
+    batch = D.make_dataset(jax.random.PRNGKey(0), 6, cfg, batch=3, speech_pool=pool)
+    assert batch.speech_spec.shape == (6, cfg.num_freq, cfg.num_frames)
+    assert np.isfinite(np.asarray(batch.echoed_spec)).all()
+
+    # every sample's clean spectrogram matches some pool utterance's STFT
+    pool_specs = np.abs(np.asarray(
+        dsp.spectrogram(jnp.asarray(pool), n_fft=cfg.NFFT, hop_length=cfg.HOP_LENGTH)
+    )) ** 2
+    pool_specs = pool_specs[:, :, : cfg.num_frames]
+    got = np.asarray(batch.speech_spec)
+    for i in range(got.shape[0]):
+        dmin = min(np.abs(got[i] - ps).max() for ps in pool_specs)
+        assert dmin < 1e-4, f"sample {i} matches no pool utterance (min diff {dmin})"
+
+    # size mismatch is rejected loudly
+    with pytest.raises(ValueError):
+        D.make_dataset(jax.random.PRNGKey(0), 2, cfg, speech_pool=pool[:, :100])
