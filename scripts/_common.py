@@ -28,6 +28,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--mesh-data", type=int, default=-1, help="data-parallel axis size (-1 = all devices)")
     p.add_argument("--mesh-model", type=int, default=1, help="model-parallel axis size")
+    p.add_argument("--mesh-seq", type=int, default=1, help="sequence-parallel axis size (time sharding)")
+    p.add_argument(
+        "--sequence-parallel", action="store_true",
+        help="shard the conv length axis over the 'seq' mesh axis (implies the "
+        "fixed channels-last VQ flatten); speech/rir stages only",
+    )
     p.add_argument("--model-parallel", action="store_true", help="shard large params over the model axis")
     p.add_argument("--vq-backend", choices=["xla", "pallas"], default="xla")
     p.add_argument(
@@ -60,6 +66,14 @@ def setup(args):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Multi-axis meshes on a forced-CPU run need virtual devices (the same
+    # trick as tests/conftest.py / __graft_entry__).
+    need = max(1, args.mesh_data) * args.mesh_model * getattr(args, "mesh_seq", 1)
+    if args.platform == "cpu" and need > 1:
+        try:
+            jax.config.update("jax_num_cpu_devices", max(need, 8))
+        except Exception:
+            pass
     if args.platform != "cpu":
         # Persistent compile cache across runs. TPU-only: in this environment
         # CPU executables are AOT-compiled on a remote machine whose CPU
@@ -86,7 +100,7 @@ def setup(args):
     else:
         config = D.DatasetConfig()
 
-    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model, seq=getattr(args, "mesh_seq", 1))
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_val = jax.random.split(key)
@@ -111,10 +125,12 @@ def setup(args):
     return config, mesh, train, val
 
 
-def task_kwargs(args, config, supports_ema: bool = False):
+def task_kwargs(args, config, supports_ema: bool = False, supports_seq: bool = False):
     kw = dict(config=config, vq_backend=args.vq_backend, compute_dtype=args.compute_dtype)
     if supports_ema and getattr(args, "vq_ema", False):
         kw["vq_ema"] = True
+    if supports_seq and getattr(args, "sequence_parallel", False):
+        kw["sequence_axis"] = "seq"
     if args.smoke:
         kw["width_scale"] = 1 / 16
     if args.batch_size:

@@ -11,10 +11,13 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--width-scale", type=float, default=1.0)
     p.add_argument(
-        "--preset", choices=["compat", "fixed"], default="compat",
-        help="compat = exact reference configuration; fixed = best validated "
-        "configuration (anchored fine-tune commitment_weight=0.25 + "
-        "quantized-latent location input, VALIDATION.md)",
+        "--preset", choices=["compat", "fixed"], default="fixed",
+        help="fixed (default) = best validated configuration (anchored "
+        "fine-tune commitment_weight=0.25 + quantized-latent location input, "
+        "VALIDATION.md); compat = the exact reference configuration "
+        "(collapsing phase-2 loss and all). The library-level run_pipeline() "
+        "keeps compat as its default for parity tests; the shipped CLI "
+        "defaults to the configuration that actually localizes.",
     )
     p.add_argument("--commitment-weight", type=float, default=None,
                    help="override the preset's fine-tune VQ anchor weight")

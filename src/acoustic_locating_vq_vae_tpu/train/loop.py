@@ -32,7 +32,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.synth import SampleBatch
-from ..parallel.mesh import batch_sharding, local_mesh, replicated, shard_params
+from ..parallel.mesh import batch_shardings, local_mesh, replicated, shard_params
 from ..utils.checkpoint import StageStore
 from .tasks import LocationTask, Task
 
@@ -122,6 +122,13 @@ class Trainer:
         self.synth_kwargs = synth_kwargs or {}
         self.mesh = mesh if mesh is not None else local_mesh()
         self.model_parallel = model_parallel
+        # Sequence parallelism (SURVEY.md §5.7): when the task names a mesh
+        # axis, the loss runs inside a partial-manual shard_map over it —
+        # activations' time dimension is sharded, convs halo-exchange over
+        # ICI — while batch sharding over 'data' stays GSPMD-automatic.
+        self.seq_axis = getattr(task, "sequence_axis", None)
+        if self.seq_axis is not None and self.seq_axis not in self.mesh.shape:
+            raise ValueError(f"mesh has no axis {self.seq_axis!r} for sequence parallelism")
         self.model = task.build_model()
         # torch.optim.Adam defaults (amsgrad=False), train_speech.py:154.
         self.optimizer = optimizer or optax.adam(task.learning_rate)
@@ -160,7 +167,15 @@ class Trainer:
         rngs = {"params": k_params}
         if "jitter" in self.task.rng_streams:
             rngs["jitter"] = k_jitter
-        variables = jax.jit(functools.partial(self.model.init, rngs))(*inputs)
+        init_model = self.model
+        if self.seq_axis is not None:
+            # The sequence-sharded model can only trace inside a shard_map;
+            # init with its replicated twin — sequence_axis changes compute,
+            # not parameter structure, so the trees are identical.
+            import dataclasses as _dc
+
+            init_model = _dc.replace(self.task, sequence_axis=None).build_model()
+        variables = jax.jit(functools.partial(init_model.init, rngs))(*inputs)
         variables = dict(variables)
         params = variables.pop("params")
         params = shard_params(params, self.mesh, self.model_parallel)
@@ -179,10 +194,47 @@ class Trainer:
             return self.task.loss(
                 self.model, params, batch, rngs, train, encodings=enc, variables=variables
             )
+        if self.seq_axis is not None:
+            return self._sequence_sharded_loss(params, batch, rngs, train, variables)
         return self.task.loss(self.model, params, batch, rngs, train, variables=variables)
+
+    def _sequence_sharded_loss(self, params, batch: SampleBatch, rngs, train, variables):
+        """Run task.loss inside a partial-manual shard_map over the sequence
+        axis: 3-D batch leaves arrive time-sharded, params replicated (their
+        grads psum across shards through the transpose), scalar metrics are
+        pmean'd back to the global values; the 'data' and 'model' axes stay
+        GSPMD-automatic."""
+        axis = self.seq_axis
+        leaves, treedef = jax.tree_util.tree_flatten(batch)
+        leaf_specs = tuple(P(None, None, axis) if a.ndim == 3 else P() for a in leaves)
+
+        def local(params_, leaves_, rngs_, variables_):
+            b = jax.tree_util.tree_unflatten(treedef, list(leaves_))
+            loss, metrics = self.task.loss(
+                self.model, params_, b, rngs_, train, variables=variables_
+            )
+            out = {}
+            for k, v in dict(metrics).items():
+                # "_variables" (EMA stats) are already axis-reduced inside the
+                # VQ; scalar metrics are shard-local means -> pmean to global.
+                out[k] = v if k == "_variables" else jax.lax.pmean(v, axis)
+            return jax.lax.pmean(loss, axis), out
+
+        return jax.shard_map(
+            local,
+            mesh=self.mesh,
+            axis_names={axis},
+            in_specs=(P(), leaf_specs, P(), P()),
+            out_specs=(P(), P()),
+        )(params, tuple(leaves), rngs, variables)
 
     def _build_step(self):
         batch_size = self.task.batch_size
+
+        def batch_spec(a) -> P:
+            if self.seq_axis is not None and a.ndim == 3:
+                return P("data", None, self.seq_axis)
+            return P("data", *([None] * (a.ndim - 1)))
 
         def sample(data: SampleBatch, key, size: int) -> SampleBatch:
             # A DataLoader with batch > len(dataset) just yields the whole
@@ -208,8 +260,10 @@ class Trainer:
 
                 leaves, treedef = jax.tree_util.tree_flatten(data)
                 specs = tuple(P("data", *([None] * (a.ndim - 1))) for a in leaves)
+                # Partial-manual over 'data' only: any seq/model sharding of
+                # the other dims flows through as GSPMD-automatic.
                 out = shard_map(
-                    local_sample, mesh=self.mesh,
+                    local_sample, mesh=self.mesh, axis_names={"data"},
                     in_specs=(P(),) + specs, out_specs=specs,
                 )(key, *leaves)
                 return jax.tree_util.tree_unflatten(treedef, out)
@@ -219,7 +273,7 @@ class Trainer:
             # Keep the gathered batch sharded over the data axis.
             return jax.tree_util.tree_map(
                 lambda a: jax.lax.with_sharding_constraint(
-                    a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+                    a, NamedSharding(self.mesh, batch_spec(a))
                 ),
                 picked,
             )
@@ -234,7 +288,7 @@ class Trainer:
                 )
                 batch = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(
-                        a, NamedSharding(self.mesh, P("data", *([None] * (a.ndim - 1))))
+                        a, NamedSharding(self.mesh, batch_spec(a))
                     ),
                     batch,
                 )
@@ -300,10 +354,14 @@ class Trainer:
                 state, start = restored
                 if self.verbose:
                     print(f"[{self.task.name}] resumed at step {start}", flush=True)
-        train_data = jax.device_put(train_data, batch_sharding(self.mesh))
+        train_data = jax.device_put(
+            train_data, batch_shardings(train_data, self.mesh, self.seq_axis)
+        )
         n_train = int(train_data.speech_spec.shape[0])
         if val_data is not None:
-            val_data = jax.device_put(val_data, batch_sharding(self.mesh))
+            val_data = jax.device_put(
+                val_data, batch_shardings(val_data, self.mesh, self.seq_axis)
+            )
             n_val = int(val_data.speech_spec.shape[0])
 
         history = TrainHistory()

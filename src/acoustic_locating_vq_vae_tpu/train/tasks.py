@@ -109,6 +109,9 @@ class SpeechVQVAETask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"  # "bfloat16" for MXU-rate mixed precision
     vq_ema: bool = False  # EMA codebook (option; gradient mode = reference parity)
+    # Mesh axis sharding the TIME dimension (long-sequence training,
+    # SURVEY.md §5.7); implies the fixed channels-last VQ flatten.
+    sequence_axis: object = None
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -124,6 +127,8 @@ class SpeechVQVAETask(Task):
             vq_backend=self.vq_backend,
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
+            sequence_axis=self.sequence_axis,
+            compat_vq_flatten=self.sequence_axis is None,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -155,6 +160,9 @@ class RirVQVAETask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
     vq_ema: bool = False
+    # Mesh axis sharding the conv length dimension (here the FREQ axis —
+    # this task feeds the transposed spectrogram, train_rir.py:45).
+    sequence_axis: object = None
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -171,6 +179,8 @@ class RirVQVAETask(Task):
             vq_backend=self.vq_backend,
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
+            sequence_axis=self.sequence_axis,
+            compat_vq_flatten=self.sequence_axis is None,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:

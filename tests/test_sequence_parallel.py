@@ -226,3 +226,51 @@ def test_jitter_sharded_semantics_across_boundaries():
     assert got[-1] in (float(L - 1), float(L - 2))  # global right end clamps left
     # with p=0.5 over 64 positions, some replacements happened
     assert (got != pos).any()
+
+
+# ------------------------------------------------------------ Trainer path
+
+def test_trainer_sequence_parallel_speech_stage():
+    """SpeechVQVAETask(sequence_axis='seq') on a (data=2, seq=4) mesh: the
+    whole training stage runs with activations time-sharded (P(None, 'seq',
+    None) internally) while batch sharding stays on 'data'. Loss decreases."""
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.train import SpeechVQVAETask, Trainer
+
+    SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    train = D.make_dataset(jax.random.PRNGKey(0), 16, SMALL, batch=16, rir_chunk=2048)
+    task = SpeechVQVAETask(config=SMALL, width_scale=1 / 32, batch_size=8, sequence_axis="seq")
+    tr = Trainer(task, mesh=make_mesh(data=2, seq=4), verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(1), train)
+    st, hist = tr.fit(st, train, None, num_updates=30)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["loss"]).all()
+    assert np.mean(f["train"]["recon_error"][-10:]) < np.mean(f["train"]["recon_error"][:10])
+
+
+def test_trainer_sequence_parallel_matches_degenerate_seq():
+    """Eval-step metrics on (data=2, seq=4) equal (data=2, seq=1) with the
+    same params and batches — the halo path is numerically transparent."""
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.train import SpeechVQVAETask, Trainer
+
+    SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    train = D.make_dataset(jax.random.PRNGKey(2), 8, SMALL, batch=8, rir_chunk=2048)
+    task = SpeechVQVAETask(config=SMALL, width_scale=1 / 32, batch_size=8, sequence_axis="seq")
+
+    def eval_metrics(seq):
+        tr = Trainer(task, mesh=make_mesh(data=2, seq=seq), verbose=False)
+        st = tr.init_state(jax.random.PRNGKey(3), train)
+        data = jax.device_put(
+            train,
+            __import__(
+                "acoustic_locating_vq_vae_tpu.parallel.mesh", fromlist=["batch_shardings"]
+            ).batch_shardings(train, tr.mesh, "seq"),
+        )
+        _, m = tr._step_fn(st, data, 8, False)  # eval step: no jitter RNG in play
+        return {k: float(v) for k, v in m.items()}
+
+    m4, m1 = eval_metrics(4), eval_metrics(1)
+    assert set(m4) == set(m1)
+    for k in m4:
+        np.testing.assert_allclose(m4[k], m1[k], rtol=1e-5, err_msg=k)
