@@ -23,6 +23,12 @@ def main():
                    help="override the preset's fine-tune VQ anchor weight")
     p.add_argument("--location-input-mode", choices=["encodings", "quantized"], default=None)
     p.add_argument("--location-target-mode", choices=["normalized_angle", "sincos"], default=None)
+    p.add_argument(
+        "--vq-flatten", choices=["compat", "vectors"], default=None,
+        help="compat = the reference's memory-order view(-1,D) flatten; "
+        "vectors = channels-last D-vectors (the VQ-VAE-paper semantics). "
+        "Default follows the preset (fixed -> vectors).",
+    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -41,6 +47,9 @@ def main():
         commitment_weight=args.commitment_weight,
         location_input_mode=args.location_input_mode,
         location_target_mode=args.location_target_mode,
+        compat_vq_flatten=(
+            None if args.vq_flatten is None else args.vq_flatten == "compat"
+        ),
         **trainer_kwargs(args),
     )
 
@@ -50,6 +59,9 @@ def main():
         compute_dtype=args.compute_dtype,
         input_mode=args.location_input_mode or ("quantized" if fixed else "encodings"),
         target_mode=args.location_target_mode or "normalized_angle",
+        compat_vq_flatten=(
+            args.vq_flatten == "compat" if args.vq_flatten is not None else not fixed
+        ),
     )
     metrics = evaluate_location(
         task, res["location"][0], res["finetune"][0], val if val is not None else train

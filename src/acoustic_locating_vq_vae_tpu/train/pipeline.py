@@ -79,6 +79,7 @@ def run_pipeline(
     commitment_weight: Optional[float] = None,
     location_input_mode: Optional[str] = None,
     location_target_mode: Optional[str] = None,
+    compat_vq_flatten: Optional[bool] = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history, variables)}
@@ -92,7 +93,9 @@ def run_pipeline(
     loss collapses the speech codebook to perplexity 1), and the location
     stage regresses from the dense quantized RIR latents
     (``input_mode="quantized"``, held-out 0.225 theta/pi MSE vs the compat
-    path's trivial-predictor plateau at 0.338). Explicit keyword arguments
+    path's trivial-predictor plateau at 0.338), and the VQ quantizes proper
+    channels-last D-vectors (``compat_vq_flatten=False``) instead of the
+    reference's memory-order time-chunks. Explicit keyword arguments
     override the preset field-by-field.
     """
     if preset not in ("compat", "fixed"):
@@ -102,12 +105,13 @@ def run_pipeline(
     commitment_weight = commitment_weight if commitment_weight is not None else (0.25 if fixed else 0.0)
     location_input_mode = location_input_mode or ("quantized" if fixed else "encodings")
     location_target_mode = location_target_mode or "normalized_angle"
+    compat_vq_flatten = compat_vq_flatten if compat_vq_flatten is not None else not fixed
 
     updates = updates or {}
     results: Dict[str, Any] = {}
     kw = dict(
         config=config, width_scale=width_scale, vq_backend=vq_backend,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
     )
 
     keys = jax.random.split(key, 5)

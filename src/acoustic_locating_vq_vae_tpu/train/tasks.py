@@ -112,6 +112,9 @@ class SpeechVQVAETask(Task):
     # Mesh axis sharding the TIME dimension (long-sequence training,
     # SURVEY.md §5.7); implies the fixed channels-last VQ flatten.
     sequence_axis: object = None
+    # True (default) = the reference's memory-order VQ flatten
+    # (vector_quantizer.py:32); False = proper channels-last D-vectors.
+    compat_vq_flatten: bool = True
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -128,7 +131,7 @@ class SpeechVQVAETask(Task):
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
             sequence_axis=self.sequence_axis,
-            compat_vq_flatten=self.sequence_axis is None,
+            compat_vq_flatten=self.compat_vq_flatten and self.sequence_axis is None,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -163,6 +166,7 @@ class RirVQVAETask(Task):
     # Mesh axis sharding the conv length dimension (here the FREQ axis —
     # this task feeds the transposed spectrogram, train_rir.py:45).
     sequence_axis: object = None
+    compat_vq_flatten: bool = True
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -180,7 +184,7 @@ class RirVQVAETask(Task):
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
             sequence_axis=self.sequence_axis,
-            compat_vq_flatten=self.sequence_axis is None,
+            compat_vq_flatten=self.compat_vq_flatten and self.sequence_axis is None,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -201,7 +205,8 @@ class RirVQVAETask(Task):
 
 
 def _echoed_model(
-    config: DatasetConfig, width_scale: float, vq_backend: str, compute_dtype: str = "float32"
+    config: DatasetConfig, width_scale: float, vq_backend: str,
+    compute_dtype: str = "float32", compat_vq_flatten: bool = True,
 ):
     s = lambda v: _scale(v, width_scale)
     dt = _dtype(compute_dtype)
@@ -209,13 +214,13 @@ def _echoed_model(
         in_channels=config.num_frames, num_hiddens=s(1024), embedding_dim=s(64),
         num_residual_layers=2, num_residual_hiddens=s(64), commitment_cost=0.25,
         num_embeddings=s(1024), use_jitter=False, out_channels=1, vq_backend=vq_backend,
-        compute_dtype=dt,
+        compute_dtype=dt, compat_vq_flatten=compat_vq_flatten,
     )
     speech_model = ConvolutionalVQVAE(
         in_channels=config.num_freq, num_hiddens=s(1024), embedding_dim=s(128),
         num_residual_layers=3, num_residual_hiddens=s(1024), commitment_cost=0.25,
         num_embeddings=s(1024), use_jitter=True, vq_backend=vq_backend,
-        compute_dtype=dt,
+        compute_dtype=dt, compat_vq_flatten=compat_vq_flatten,
     )
     # Composite decoder config: train_echoed_speech.py:23-27 (H=1024, 2 res
     # layers, res-H=1024, jitter on; out_channels = spectrogram freq bins).
@@ -250,9 +255,13 @@ class EchoedSpeechTask(Task):
     # encoders drift from the frozen codebooks until they collapse
     # (VALIDATION.md); a nonzero weight anchors them. 0.0 = reference parity.
     commitment_weight: float = 0.0
+    compat_vq_flatten: bool = True
 
     def build_model(self) -> EchoedSpeechReconModel:
-        return _echoed_model(self.config, self.width_scale, self.vq_backend, self.compute_dtype)
+        return _echoed_model(
+            self.config, self.width_scale, self.vq_backend, self.compute_dtype,
+            compat_vq_flatten=self.compat_vq_flatten,
+        )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         x = znorm(batch.echoed_spec, axis=1)  # train_echoed_speech.py:64
@@ -310,6 +319,7 @@ class LocationTask(Task):
     # "sincos": regress (sin theta, cos theta) and decode with atan2 — the
     # circular fixed-variant.
     target_mode: str = "normalized_angle"
+    compat_vq_flatten: bool = True
 
     def build_model(self) -> LocationModule:
         if self.input_mode == "quantized":
@@ -326,7 +336,10 @@ class LocationTask(Task):
         )
 
     def build_composite(self) -> EchoedSpeechReconModel:
-        return _echoed_model(self.config, self.width_scale, self.vq_backend, self.compute_dtype)
+        return _echoed_model(
+            self.config, self.width_scale, self.vq_backend, self.compute_dtype,
+            compat_vq_flatten=self.compat_vq_flatten,
+        )
 
     def encodings_from_composite(self, composite, composite_params, batch: SampleBatch):
         """Frozen RIR-branch one-hot encodings, reshaped (B, F, K)
