@@ -136,12 +136,19 @@ class VectorQuantizer(nn.Module):
             q_latent_loss = jnp.asarray(0.0, flat.dtype)
             if train_vq and not self.is_initializing():
                 sg_flat = jax.lax.stop_gradient(flat)
-                counts = jnp.zeros(self.num_embeddings, flat.dtype).at[indices].add(1.0)
-                sums = (
-                    jnp.zeros((self.num_embeddings, self.embedding_dim), flat.dtype)
-                    .at[indices]
-                    .add(sg_flat)
-                )
+                if self.backend == "pallas":
+                    from .vq_pallas import codebook_stats_pallas
+
+                    counts, sums = codebook_stats_pallas(
+                        indices, sg_flat, self.num_embeddings
+                    )
+                else:
+                    counts = jnp.zeros(self.num_embeddings, flat.dtype).at[indices].add(1.0)
+                    sums = (
+                        jnp.zeros((self.num_embeddings, self.embedding_dim), flat.dtype)
+                        .at[indices]
+                        .add(sg_flat)
+                    )
                 if self.sequence_axis is not None:
                     counts = jax.lax.psum(counts, self.sequence_axis)
                     sums = jax.lax.psum(sums, self.sequence_axis)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["nearest_codebook_pallas"]
+__all__ = ["nearest_codebook_pallas", "codebook_stats_pallas"]
 
 _BLOCK_N = 512
 
@@ -145,6 +145,24 @@ def _dcb_impl(indices: jnp.ndarray, g: jnp.ndarray, k: int, d: int) -> jnp.ndarr
         interpret=_interpret(),
     )(idx, gp)
     return dcb[:k, :d]
+
+
+def codebook_stats_pallas(
+    indices: jnp.ndarray, flat_x: jnp.ndarray, num_embeddings: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-code usage counts and input sums in ONE blocked kernel pass:
+    (indices (N,), flat_x (N, D)) -> (counts (K,), sums (K, D)).
+
+    These are the statistics the EMA codebook update and the perplexity need
+    (vector_quantizer.py:55-56 / van den Oord appendix A.1). Rather than two
+    scatter-adds over HBM, augment the rows with a ones column and reuse the
+    backward kernel's blocked one-hot-transpose matmul:
+    one_hot(idx)^T @ [x | 1] = [sums | counts] on the MXU.
+    """
+    n, d = flat_x.shape
+    aug = jnp.concatenate([flat_x, jnp.ones((n, 1), flat_x.dtype)], axis=1)
+    out = _dcb_impl(indices.astype(jnp.int32), aug, num_embeddings, d + 1)
+    return out[:, d], out[:, :d]
 
 
 @jax.custom_vjp

@@ -99,3 +99,51 @@ def test_ties_resolve_identically():
     idx_ref, _ = ops.nearest_codebook(x, cb)
     idx_pl, _ = nearest_codebook_pallas(x, cb)
     np.testing.assert_array_equal(np.asarray(idx_pl), np.asarray(idx_ref))
+
+
+def test_codebook_stats_pallas_matches_scatter():
+    """The blocked one-hot-transpose stats kernel equals the scatter-adds."""
+    from acoustic_locating_vq_vae_tpu.ops.vq_pallas import codebook_stats_pallas
+
+    rng = np.random.default_rng(11)
+    N, D, K = 700, 5, 37  # deliberately unaligned
+    flat = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, K, N).astype(np.int32))
+    counts, sums = codebook_stats_pallas(idx, flat, K)
+    want_counts = np.zeros(K, np.float32)
+    np.add.at(want_counts, np.asarray(idx), 1.0)
+    want_sums = np.zeros((K, D), np.float32)
+    np.add.at(want_sums, np.asarray(idx), np.asarray(flat))
+    np.testing.assert_allclose(np.asarray(counts), want_counts)
+    np.testing.assert_allclose(np.asarray(sums), want_sums, rtol=1e-5, atol=1e-5)
+
+
+def test_ema_pallas_backend_matches_xla_backend():
+    """EMA codebook update through the Pallas stats kernel equals the XLA
+    scatter path (same key, same inputs)."""
+    from acoustic_locating_vq_vae_tpu import ops
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((300, 4)).astype(np.float32))
+
+    def run(backend):
+        vq = ops.VectorQuantizer(
+            num_embeddings=16, embedding_dim=4, commitment_cost=0.25,
+            ema=True, backend=backend,
+        )
+        variables = vq.init(jax.random.PRNGKey(5), x)
+        out, mutated = vq.apply(variables, x, train_vq=True, mutable=["vq_stats"])
+        return out, mutated["vq_stats"]
+
+    out_p, stats_p = run("pallas")
+    out_x, stats_x = run("xla")
+    np.testing.assert_array_equal(np.asarray(out_p.indices), np.asarray(out_x.indices))
+    np.testing.assert_allclose(
+        np.asarray(stats_p["ema_counts"]), np.asarray(stats_x["ema_counts"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_p["ema_sums"]), np.asarray(stats_x["ema_sums"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats_p["codebook"]), np.asarray(stats_x["codebook"]), rtol=1e-5, atol=1e-6
+    )
