@@ -319,3 +319,33 @@ def test_dataset_roundtrip_through_real_reference_reader():
         ref_coords = np.stack([ref_ds.get_source_coordinates(np.atleast_1d(t))[0] for t in th])
         our_coords = OurSpecsDataset(root).get_source_coordinates(th)
         np.testing.assert_allclose(our_coords, ref_coords, rtol=1e-6)
+
+
+def test_untied_stack_import_detection():
+    """A model exported with untied residual stacks round-trips through
+    torch_import as untied (per-layer trees), and tied ones as tied."""
+    cfg = dict(SPEECH_CFG, tied=False)
+    model = ConvolutionalVQVAE(**cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(50), "jitter": jax.random.PRNGKey(51)},
+        jnp.zeros((1, 5, 5), jnp.float32),
+    )
+    sd = vqvae_state_dict(variables["params"], num_residual_layers=3)
+    back = vqvae_params(sd)
+    assert "residual_0" in back["_encoder"]["residual_stack"]  # untied detected
+    # forward equality through the untied import
+    x = np.random.default_rng(52).standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+    a = model.apply(variables, jnp.asarray(x), train=False)
+    b = model.apply({"params": back}, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), rtol=1e-6)
+
+    tied_back = vqvae_params(
+        vqvae_state_dict(
+            ConvolutionalVQVAE(**SPEECH_CFG).init(
+                {"params": jax.random.PRNGKey(53), "jitter": jax.random.PRNGKey(54)},
+                jnp.zeros((1, 5, 5), jnp.float32),
+            )["params"],
+            num_residual_layers=3,
+        )
+    )
+    assert "residual" in tied_back["_encoder"]["residual_stack"]  # tied detected
