@@ -52,6 +52,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument(
+        "--vq-flatten", choices=["compat", "vectors"], default=None,
+        help="compat (default) = the reference's memory-order view(-1,D) VQ "
+        "flatten (vector_quantizer.py:32); vectors = channels-last D-vectors",
+    )
+    p.add_argument(
+        "--location-input-mode", choices=["encodings", "quantized"], default=None,
+        help="location MLP input: one-hot encodings (reference) or dense quantized latents",
+    )
+    p.add_argument(
+        "--location-target-mode", choices=["normalized_angle", "sincos"], default=None,
+        help="location target: theta/pi MSE (reference) or circular (sin, cos)",
+    )
+    p.add_argument(
         "--wav-dir", default=None,
         help="directory of 16 kHz wavs to use as the speech corpus for "
         "on-device synthesis (the LibriSpeech role, genereate_dataset.py:93); "
@@ -125,12 +138,20 @@ def setup(args):
     return config, mesh, train, val
 
 
-def task_kwargs(args, config, supports_ema: bool = False, supports_seq: bool = False):
+def task_kwargs(args, config, supports_ema: bool = False, supports_seq: bool = False,
+                location: bool = False):
     kw = dict(config=config, vq_backend=args.vq_backend, compute_dtype=args.compute_dtype)
     if supports_ema and getattr(args, "vq_ema", False):
         kw["vq_ema"] = True
     if supports_seq and getattr(args, "sequence_parallel", False):
         kw["sequence_axis"] = "seq"
+    if getattr(args, "vq_flatten", None):
+        kw["compat_vq_flatten"] = args.vq_flatten == "compat"
+    if location:
+        if getattr(args, "location_input_mode", None):
+            kw["input_mode"] = args.location_input_mode
+        if getattr(args, "location_target_mode", None):
+            kw["target_mode"] = args.location_target_mode
     if args.smoke:
         kw["width_scale"] = 1 / 16
     if args.batch_size:

@@ -28,7 +28,7 @@ def main():
     loc_params = store.load_stage("location")["params"]
 
     stages = args.stages or [s for s in ("echoed", "finetune") if store.has_stage(s)]
-    task = LocationTask(**task_kwargs(args, config))
+    task = LocationTask(**task_kwargs(args, config, location=True))
     entries = {
         s: {
             "location_params": loc_params,

@@ -21,14 +21,6 @@ def main():
     )
     p.add_argument("--commitment-weight", type=float, default=None,
                    help="override the preset's fine-tune VQ anchor weight")
-    p.add_argument("--location-input-mode", choices=["encodings", "quantized"], default=None)
-    p.add_argument("--location-target-mode", choices=["normalized_angle", "sincos"], default=None)
-    p.add_argument(
-        "--vq-flatten", choices=["compat", "vectors"], default=None,
-        help="compat = the reference's memory-order view(-1,D) flatten; "
-        "vectors = channels-last D-vectors (the VQ-VAE-paper semantics). "
-        "Default follows the preset (fixed -> vectors).",
-    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 

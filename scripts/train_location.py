@@ -23,7 +23,7 @@ def main():
     composite_params = store.load_stage(stage)["params"]
     print(f"using composite from stage {stage!r}")
 
-    task = LocationTask(**task_kwargs(args, config))
+    task = LocationTask(**task_kwargs(args, config, location=True))
     trainer = Trainer(
         task, mesh=mesh, checkpoint_dir=args.store_dir,
         composite_params=composite_params, **trainer_kwargs(args),
