@@ -135,6 +135,9 @@ class ConvolutionalVQVAE(nn.Module):
     # "vq_stats" variable collection, updated during forward passes.
     vq_ema: bool = False
     vq_ema_decay: float = 0.99
+    # Dead-code restart threshold for the EMA codebook (0 = off); see
+    # ops/vq.py ema_reset_threshold.
+    vq_ema_reset: float = 0.0
     # Mixed precision: conv stacks compute in this dtype (e.g. jnp.bfloat16
     # for full MXU rate), parameters and losses stay f32, and the VQ
     # assignment always runs in f32 so code selection is exact.
@@ -186,6 +189,7 @@ class ConvolutionalVQVAE(nn.Module):
             backend=self.vq_backend,
             ema=self.vq_ema,
             ema_decay=self.vq_ema_decay,
+            ema_reset_threshold=self.vq_ema_reset,
             sequence_axis=self.sequence_axis,
         )
         self._decoder = DeconvolutionalDecoder(

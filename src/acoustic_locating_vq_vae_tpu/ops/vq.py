@@ -73,6 +73,10 @@ class VectorQuantizer(nn.Module):
     ema: bool = False  # optional EMA codebook update (off = reference parity)
     ema_decay: float = 0.99
     ema_eps: float = 1e-5
+    # Dead-code restart (Jukebox-style) for the EMA codebook: any code whose
+    # EMA usage count falls below this threshold is re-seeded from a current
+    # batch row, keeping the whole codebook live. 0.0 = off (default).
+    ema_reset_threshold: float = 0.0
     # Set when traced inside a shard_map that shards the time axis (SURVEY.md
     # §5.7): loss means, code-usage counts, and EMA statistics are reduced
     # over the axis so they equal the unsharded computation (assignment
@@ -154,6 +158,16 @@ class VectorQuantizer(nn.Module):
                     sums = jax.lax.psum(sums, self.sequence_axis)
                 new_counts = self.ema_decay * self.ema_counts.value + (1 - self.ema_decay) * counts
                 new_sums = self.ema_decay * self.ema_sums.value + (1 - self.ema_decay) * sums
+                if self.ema_reset_threshold > 0.0:
+                    # Re-seed dead codes from current batch rows (row choice
+                    # is deterministic — code id mod batch rows — so the
+                    # restart is reproducible and identical across shards).
+                    dead = new_counts < self.ema_reset_threshold
+                    seed_rows = sg_flat[
+                        jnp.arange(self.num_embeddings) % sg_flat.shape[0]
+                    ]
+                    new_sums = jnp.where(dead[:, None], seed_rows, new_sums)
+                    new_counts = jnp.where(dead, 1.0, new_counts)
                 self.ema_counts.value = new_counts
                 self.ema_sums.value = new_sums
                 n = jnp.sum(new_counts)

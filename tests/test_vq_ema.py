@@ -130,3 +130,47 @@ def test_ema_statistics_global_under_dp_mesh():
     np.testing.assert_allclose(sharded["ema_counts"], single["ema_counts"], rtol=1e-5)
     np.testing.assert_allclose(sharded["ema_sums"], single["ema_sums"], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(sharded["codebook"], single["codebook"], rtol=1e-4, atol=1e-6)
+
+
+def test_ema_dead_code_restart():
+    """ema_reset_threshold re-seeds unused codes from batch rows: after one
+    update on data clustered far from the init range, every code is live
+    (count >= threshold equivalent) and dead codes moved to data rows."""
+    rng = np.random.default_rng(3)
+    # two tight clusters: only ~2 codes would ever win assignments
+    x = np.concatenate([
+        rng.standard_normal((100, 4)) * 0.01 + 5.0,
+        rng.standard_normal((100, 4)) * 0.01 - 5.0,
+    ]).astype(np.float32)
+    x = jnp.asarray(x)
+
+    def run(threshold, steps=120):
+        # counts init at 1.0 and decay by 0.99/step: dead codes need ~100
+        # updates to fall under 0.5
+        vq = ops.VectorQuantizer(
+            num_embeddings=8, embedding_dim=4, commitment_cost=0.25,
+            ema=True, ema_reset_threshold=threshold,
+        )
+        variables = vq.init(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def step(stats):
+            _, mutated = vq.apply(
+                {"vq_stats": stats}, x, train_vq=True, mutable=["vq_stats"]
+            )
+            return mutated["vq_stats"]
+
+        stats = variables["vq_stats"]
+        for _ in range(steps):
+            stats = step(stats)
+        return stats
+
+    no_reset = run(0.0)
+    reset = run(0.5)
+    # without restart most codes decay toward zero usage
+    assert (np.asarray(no_reset["ema_counts"]) < 0.5).sum() >= 5
+    # with restart every code is re-seeded live
+    assert (np.asarray(reset["ema_counts"]) >= 0.5).all()
+    # re-seeded codebook rows sit on actual data (|x| ~ 5), not init (~1/8)
+    cb = np.asarray(reset["codebook"])
+    assert np.abs(cb).max() > 1.0
