@@ -143,6 +143,8 @@ def make_dataset(
     random-LibriSpeech-utterance-per-sample role (genereate_dataset.py:93-97).
     Default draws from the on-device synthetic source-filter generator.
     """
+    if size <= 0:
+        raise ValueError(f"dataset size must be positive, got {size}")
     if speech_pool is not None:
         speech_pool = np.asarray(speech_pool, np.float32)
         if speech_pool.shape[1] != config.audio_samples:
