@@ -10,6 +10,15 @@ def main():
         "--composite-stage", default=None,
         help="stage name of the composite to read latents from (default: finetune if present, else echoed)",
     )
+    p.add_argument(
+        "--joint", action="store_true",
+        help="beyond-parity variant: fine-tune the RIR encoder JOINTLY with "
+        "the location head on the angle loss (gradients through the VQ "
+        "straight-through estimator; codebook frozen). The reference freezes "
+        "the whole composite.",
+    )
+    p.add_argument("--commitment-weight", type=float, default=0.25,
+                   help="(--joint) encoder-to-codebook anchor weight")
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -23,18 +32,38 @@ def main():
     composite_params = store.load_stage(stage)["params"]
     print(f"using composite from stage {stage!r}")
 
-    task = LocationTask(**task_kwargs(args, config, location=True))
-    trainer = Trainer(
-        task, mesh=mesh, checkpoint_dir=args.store_dir,
-        composite_params=composite_params, **trainer_kwargs(args),
-    )
-    state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
+    if args.joint:
+        from acoustic_locating_vq_vae_tpu.train import JointLocationTask
+
+        kw = task_kwargs(args, config, location=True)
+        kw.pop("input_mode", None)  # joint always uses dense latents
+        task = JointLocationTask(**kw, commitment_weight=args.commitment_weight)
+        trainer = Trainer(
+            task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args)
+        )
+        state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
+        seeded = task.seed_params(state.params, composite_params)
+        state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
+    else:
+        task = LocationTask(**task_kwargs(args, config, location=True))
+        trainer = Trainer(
+            task, mesh=mesh, checkpoint_dir=args.store_dir,
+            composite_params=composite_params, **trainer_kwargs(args),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     print(
         f"done: final location MSE {f['train']['location_error'][-100:].mean():.5f} "
-        f"(target theta/pi); stage 'location' saved to {args.store_dir}"
+        f"(target theta/pi); stage {task.name!r} saved to {args.store_dir}"
     )
+    if args.joint and (val is not None or train is not None):
+        import json
+
+        from acoustic_locating_vq_vae_tpu.eval import evaluate_joint_location
+
+        metrics = evaluate_joint_location(task, state.params, val if val is not None else train)
+        print("joint location evaluation:", json.dumps(metrics, indent=2))
 
 
 if __name__ == "__main__":

@@ -1,13 +1,14 @@
 """Evaluation / analysis layer: location comparison (C21 intent), latent
 t-SNE study (C23), audio resynthesis checks (C24)."""
 
-from .compare import compare_location_models, evaluate_location
+from .compare import compare_location_models, evaluate_joint_location, evaluate_location
 from .latents import collect_encodings, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
 
 __all__ = [
     "compare_location_models",
     "evaluate_location",
+    "evaluate_joint_location",
     "collect_encodings",
     "tsne_rir_embedding",
     "audio_from_complex_spec",

@@ -25,7 +25,7 @@ from ..data.synth import SampleBatch
 from ..dsp import source_coordinates
 from ..train.tasks import LocationTask
 
-__all__ = ["evaluate_location", "compare_location_models"]
+__all__ = ["evaluate_location", "evaluate_joint_location", "compare_location_models"]
 
 
 def evaluate_location(
@@ -103,6 +103,52 @@ def evaluate_location(
     return {
         "rmse_coordinates_m": float(
             np.sqrt(np.mean(np.sum((pred - coords_true) ** 2, axis=1)))
+        ),
+        "num_samples": int(n),
+    }
+
+
+def evaluate_joint_location(task, params: Any, batch: SampleBatch, batch_size: int = 64) -> Dict[str, float]:
+    """Evaluate a :class:`..train.tasks.JointLocationTask` model (encoder +
+    head, one param tree) over a SampleBatch — same metrics as
+    :func:`evaluate_location`."""
+    model = task.build_model()
+    cfg = task.config
+
+    @jax.jit
+    def predict(p, b: SampleBatch):
+        (x_trans,) = task.model_inputs(b)
+        pred, _, _ = model.apply({"params": p}, x_trans)
+        return pred
+
+    n = int(batch.speech_spec.shape[0])
+    preds = []
+    for i in range(0, n, batch_size):
+        sub = jax.tree_util.tree_map(lambda a: a[i : i + batch_size], batch)
+        preds.append(np.asarray(predict(params, sub)))
+    pred = np.concatenate(preds, axis=0)
+
+    theta_true = np.asarray(batch.theta).reshape(-1)
+    theta_pred = np.asarray(task.decode_angle(jnp.asarray(pred)))
+    ang = np.angle(np.exp(1j * (theta_pred - theta_true)))
+    receiver = jnp.asarray(cfg.receiver_position)
+    room = jnp.asarray(cfg.room_dimensions)
+    coords_true = np.asarray(
+        source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+    )
+    coords_pred = np.asarray(
+        source_coordinates(jnp.asarray(theta_pred), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+    )
+    if task.target_mode == "sincos":
+        err_norm_sq = (ang / np.pi) ** 2
+    else:
+        err_norm_sq = (pred.reshape(-1) - theta_true / np.pi) ** 2
+    return {
+        "mse_theta_over_pi": float(np.mean(err_norm_sq)),
+        "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm_sq))),
+        "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+        "rmse_coordinates_m": float(
+            np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
         ),
         "num_samples": int(n),
     }

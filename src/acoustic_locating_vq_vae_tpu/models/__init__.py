@@ -3,7 +3,7 @@ speech composite, and the location regressor."""
 
 from .conv_vqvae import ConvolutionalEncoder, ConvolutionalVQVAE, DeconvolutionalDecoder
 from .echoed_speech import EchoedSpeechReconModel
-from .location import LocationModule
+from .location import JointLocationModel, LocationModule
 
 __all__ = [
     "ConvolutionalEncoder",
@@ -11,4 +11,5 @@ __all__ = [
     "DeconvolutionalDecoder",
     "EchoedSpeechReconModel",
     "LocationModule",
+    "JointLocationModel",
 ]

@@ -12,7 +12,7 @@ from flax import linen as nn
 
 from ..ops.conv import Dense
 
-__all__ = ["LocationModule"]
+__all__ = ["LocationModule", "JointLocationModel"]
 
 
 class LocationModule(nn.Module):
@@ -28,3 +28,37 @@ class LocationModule(nn.Module):
         z = nn.relu(Dense(512, name="fc_3")(z))
         z = nn.relu(Dense(64, name="fc_4")(z))
         return Dense(self.output_dim, name="fc_5")(z)
+
+
+class JointLocationModel(nn.Module):
+    """RIR encoder + location head trained JOINTLY on the angle loss — a
+    capability the reference lacks (its location stage reads latents from a
+    frozen composite, train_location.py:69, so the representation can never
+    adapt to the localization objective; VALIDATION.md documents how that
+    plateaus at the trivial predictor). Gradients reach the encoder through
+    the VQ straight-through estimator; the codebook stays frozen
+    (``train_vq=False``), and the branch VQ loss (commitment term) is
+    returned so the task can anchor the encoder to the frozen codebook.
+
+    Dense quantized features are required — one-hot encodings block all
+    gradients (the argmin has none)."""
+
+    rir_model: object  # ConvolutionalVQVAE (declared loosely to avoid a cycle)
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x_trans: jnp.ndarray):
+        """``x_trans``: the transposed echoed spectrogram (B, T, F) — the RIR
+        branch's input layout (train_location.py:63-66). Returns
+        (prediction, rir_perplexity, rir_vq_loss)."""
+        vq_loss, q, perp, _ = self.rir_model.get_latent_representation(
+            x_trans, train_vq=False, need_encodings=False
+        )  # q: (B, D_rir, L=F)
+        feats = jnp.swapaxes(q, 1, 2)  # (B, F, D_rir)
+        pred = LocationModule(
+            encoder_output_dim=feats.shape[1],
+            num_hiddens=feats.shape[2],
+            output_dim=self.output_dim,
+            name="head",
+        )(feats)
+        return pred, perp, vq_loss

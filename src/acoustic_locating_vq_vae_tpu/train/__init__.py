@@ -6,6 +6,7 @@ from .pipeline import run_pipeline, run_stage
 from .tasks import (
     EchoedSpeechTask,
     EncoderFinetuneTask,
+    JointLocationTask,
     LocationTask,
     RirVQVAETask,
     SpeechVQVAETask,
@@ -22,6 +23,7 @@ __all__ = [
     "run_stage",
     "EchoedSpeechTask",
     "EncoderFinetuneTask",
+    "JointLocationTask",
     "LocationTask",
     "RirVQVAETask",
     "SpeechVQVAETask",

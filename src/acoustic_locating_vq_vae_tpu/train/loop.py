@@ -156,6 +156,9 @@ class Trainer:
             )
             return (enc,)
         inputs = self.task.model_inputs(_take(batch, 1))
+        if not getattr(self.task, "init_truncate", True):
+            # e.g. the joint location head: fc_1 width depends on the length
+            return inputs
         # Every layer is a stride-1 conv: parameter shapes are independent of
         # the sequence length, so initialize on a short truncation — the init
         # program compiles in seconds instead of minutes at full length.

@@ -26,7 +26,12 @@ from flax.core import unfreeze
 from ..data.config import DatasetConfig
 from ..data.synth import SampleBatch
 from ..dsp import znorm
-from ..models import ConvolutionalVQVAE, EchoedSpeechReconModel, LocationModule
+from ..models import (
+    ConvolutionalVQVAE,
+    EchoedSpeechReconModel,
+    JointLocationModel,
+    LocationModule,
+)
 
 __all__ = [
     "Task",
@@ -35,6 +40,7 @@ __all__ = [
     "EchoedSpeechTask",
     "EncoderFinetuneTask",
     "LocationTask",
+    "JointLocationTask",
     "make_task",
     "graft_pretrained",
 ]
@@ -70,6 +76,12 @@ class Task:
     @property
     def rng_streams(self) -> Tuple[str, ...]:
         return ("jitter",)
+
+    @property
+    def init_truncate(self) -> bool:
+        """Whether parameter shapes are independent of the sequence length
+        (stride-1 conv stacks), letting init run on a short truncation."""
+        return True
 
 
 
@@ -420,12 +432,89 @@ def graft_pretrained(
     return p
 
 
+@dataclasses.dataclass(frozen=True)
+class JointLocationTask(Task):
+    """Joint location fine-tuning: RIR encoder + location head trained
+    together on the angle loss — a beyond-parity stage the reference lacks
+    (train_location.py:69 freezes the composite). Seeds the encoder from a
+    pretrained composite's rir_model subtree (``seed_params``); gradients
+    flow through the VQ straight-through estimator; the commitment term of
+    the frozen-codebook VQ loss anchors the encoder (the same fix validated
+    for the phase-2 collapse, VALIDATION.md)."""
+
+    name: str = "location_joint"
+    learning_rate: float = 1e-4  # encoder fine-tuning: lower than the MLP-only 1e-3
+    batch_size: int = 16
+    num_updates: int = 15000
+    config: DatasetConfig = DatasetConfig()
+    width_scale: float = 1.0
+    vq_backend: str = "xla"
+    compute_dtype: str = "float32"
+    compat_vq_flatten: bool = False  # one-hot-free gradients need vectors
+    target_mode: str = "normalized_angle"
+    output_dim: int = 1
+    commitment_weight: float = 0.25
+
+    def build_model(self) -> JointLocationModel:
+        s = lambda v: _scale(v, self.width_scale)
+        rir_model = ConvolutionalVQVAE(
+            in_channels=self.config.num_frames, num_hiddens=s(1024), embedding_dim=s(64),
+            num_residual_layers=2, num_residual_hiddens=s(64), commitment_cost=0.25,
+            num_embeddings=s(1024), use_jitter=False, out_channels=1,
+            vq_backend=self.vq_backend, compute_dtype=_dtype(self.compute_dtype),
+            compat_vq_flatten=self.compat_vq_flatten,
+        )
+        out_dim = 2 if self.target_mode == "sincos" else self.output_dim
+        return JointLocationModel(rir_model=rir_model, output_dim=out_dim)
+
+    @staticmethod
+    def seed_params(fresh_params, composite_params):
+        """Graft a pretrained composite's rir_model subtree under this task's
+        params (the stage handoff for the joint stage)."""
+        p = dict(fresh_params)
+        p["rir_model"] = jax.tree_util.tree_map(
+            lambda a: jnp.array(a), composite_params["rir_model"]
+        )
+        return p
+
+    def model_inputs(self, batch: SampleBatch) -> Tuple:
+        x = znorm(batch.echoed_spec, axis=1)  # train_location.py:63-65
+        return (jnp.swapaxes(x, 1, 2),)
+
+    def loss(self, model, params, batch, rngs, train, variables=None):
+        (x_trans,) = self.model_inputs(batch)
+        pred, perp, vq_loss = model.apply({"params": params}, x_trans)
+        theta = batch.theta.reshape(-1, 1).astype(pred.dtype)
+        if self.target_mode == "sincos":
+            target = jnp.concatenate([jnp.sin(theta), jnp.cos(theta)], axis=1)
+        else:
+            target = theta / jnp.pi
+        mse = jnp.mean((pred - target) ** 2)
+        loss = mse + self.commitment_weight * vq_loss
+        return loss, {"location_error": mse, "rir_perplexity": perp}
+
+    def decode_angle(self, pred: jnp.ndarray) -> jnp.ndarray:
+        if self.target_mode == "sincos":
+            return jnp.arctan2(pred[:, 0], pred[:, 1])
+        return pred.reshape(-1) * jnp.pi
+
+    @property
+    def rng_streams(self) -> Tuple[str, ...]:
+        return ()
+
+    @property
+    def init_truncate(self) -> bool:
+        # the head's fc_1 width depends on the latent length: init full-length
+        return False
+
+
 _TASKS = {
     "speech": SpeechVQVAETask,
     "rir": RirVQVAETask,
     "echoed": EchoedSpeechTask,
     "finetune": EncoderFinetuneTask,
     "location": LocationTask,
+    "location_joint": JointLocationTask,
 }
 
 

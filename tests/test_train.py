@@ -348,3 +348,42 @@ def test_pipeline_fixed_preset_with_ema_handoff(datasets):
     assert fc1_in == SMALL.num_freq * d_rir
     for stage in ("speech", "rir", "echoed", "finetune", "location"):
         assert np.isfinite(res[stage][1].finalize()["train"]["loss"]).all()
+
+
+def test_joint_location_task_trains_encoder(datasets, tmp_path):
+    """Beyond-parity joint location stage: encoder + head trained together on
+    the angle loss; gradients reach the encoder through the VQ STE; the
+    rir_model subtree seeds from a pretrained composite."""
+    from acoustic_locating_vq_vae_tpu.train import EncoderFinetuneTask, JointLocationTask
+
+    train, val = datasets
+    # a quick composite to seed from
+    comp_task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8,
+                                 compat_vq_flatten=False)
+    comp_tr = Trainer(comp_task, verbose=False)
+    comp_st = comp_tr.init_state(jax.random.PRNGKey(10), train)
+
+    task = JointLocationTask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(11), train)
+    seeded = task.seed_params(st.params, comp_st.params)
+    np.testing.assert_array_equal(
+        np.asarray(seeded["rir_model"]["_vq"]["codebook"]),
+        np.asarray(comp_st.params["rir_model"]["_vq"]["codebook"]),
+    )
+    st = st.replace(params=seeded, opt_state=tr.optimizer.init(seeded))
+
+    enc0 = np.asarray(st.params["rir_model"]["_encoder"]["conv_1"]["Conv_0"]["kernel"])
+    cb0 = np.asarray(st.params["rir_model"]["_vq"]["codebook"])
+    st, hist = tr.fit(st, train, val, num_updates=80)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["location_error"]).all()
+    # noisy small-batch regression: compare window means, not endpoints
+    assert np.mean(f["train"]["location_error"][-20:]) < np.mean(
+        f["train"]["location_error"][:10]
+    )
+    # encoder moved (STE gradients), codebook stayed frozen (train_vq=False)
+    enc1 = np.asarray(st.params["rir_model"]["_encoder"]["conv_1"]["Conv_0"]["kernel"])
+    cb1 = np.asarray(st.params["rir_model"]["_vq"]["codebook"])
+    assert not np.array_equal(enc0, enc1)
+    np.testing.assert_array_equal(cb0, cb1)
