@@ -52,6 +52,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument(
+        "--profile-dir", default=None,
+        help="capture a Perfetto/TensorBoard device trace of a few "
+        "steady-state training steps into this directory (SURVEY §5.1)",
+    )
+    p.add_argument(
         "--vq-flatten", choices=["compat", "vectors"], default=None,
         help="compat (default) = the reference's memory-order view(-1,D) VQ "
         "flatten (vector_quantizer.py:32); vectors = channels-last D-vectors",
@@ -164,4 +169,5 @@ def trainer_kwargs(args):
         log_every=args.log_every,
         model_parallel=args.model_parallel,
         on_the_fly=getattr(args, "on_the_fly", False),
+        profile_dir=getattr(args, "profile_dir", None),
     )

@@ -111,6 +111,7 @@ class Trainer:
         verbose: bool = True,
         on_the_fly: bool = False,
         synth_kwargs: Optional[Dict] = None,
+        profile_dir: Optional[str] = None,
     ):
         """``on_the_fly=True`` synthesizes a FRESH training batch inside every
         jitted step (data/synth.py fused into the step program) instead of
@@ -136,6 +137,9 @@ class Trainer:
         self.log_every = log_every
         self.val_replaces_train = val_replaces_train
         self.verbose = verbose
+        # SURVEY.md §5.1: when set, fit() captures a Perfetto/TensorBoard
+        # device trace of a few steady-state steps (after compile) here.
+        self.profile_dir = profile_dir
 
         self.composite = None
         self.composite_params = None
@@ -370,7 +374,12 @@ class Trainer:
         history = TrainHistory()
         t0 = time.time()
         frames = 0
+        trace_window = (start + 2, min(start + 7, num_updates))  # steady-state steps
+        tracing = False
         for i in range(start, num_updates):
+            if self.profile_dir and i == trace_window[0]:
+                jax.profiler.start_trace(self.profile_dir)
+                tracing = True
             is_val = (
                 val_data is not None
                 and self.val_replaces_train
@@ -382,6 +391,13 @@ class Trainer:
                 state, metrics = self._step_fn(state, train_data, n_train, True)
                 frames += self.task.batch_size * self.task.config.num_frames if hasattr(self.task, "config") else 0
             history.append(metrics, val=is_val)
+
+            if tracing and i + 1 >= trace_window[1]:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                tracing = False
+                if self.verbose:
+                    print(f"[{self.task.name}] device trace written to {self.profile_dir}", flush=True)
 
             if self.verbose and (i + 1) % self.log_every == 0:
                 parts = [f"[{self.task.name}] {i + 1} iterations"]
