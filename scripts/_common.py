@@ -31,8 +31,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--mesh-seq", type=int, default=1, help="sequence-parallel axis size (time sharding)")
     p.add_argument(
         "--sequence-parallel", action="store_true",
-        help="shard the conv length axis over the 'seq' mesh axis (implies the "
-        "fixed channels-last VQ flatten); speech/rir stages only",
+        help="shard the time axis over the 'seq' mesh axis (implies the "
+        "fixed channels-last VQ flatten); speech stage only — the rir "
+        "stage's conv length is the short freq axis and rejects it",
     )
     p.add_argument("--model-parallel", action="store_true", help="shard large params over the model axis")
     p.add_argument("--vq-backend", choices=["xla", "pallas"], default="xla")
@@ -122,15 +123,24 @@ def setup(args):
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_val = jax.random.split(key)
-    pool = None
-    if getattr(args, "wav_dir", None):
-        from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
-
-        pool = load_wav_dir(args.wav_dir, config.audio_samples)
-        print(f"speech corpus: {pool.shape[0]} wavs from {args.wav_dir}", flush=True)
     if args.data_dir:
         ds = D.SpecsDataset(args.data_dir)
-        config = ds.config
+        config = ds.config  # resolve BEFORE validating a wav pool against it
+    synth_train = not args.data_dir
+    synth_val = not args.val_dir and args.val_size > 0
+    pool = None
+    if getattr(args, "wav_dir", None):
+        if synth_train or synth_val:
+            from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+
+            pool = load_wav_dir(args.wav_dir, config.audio_samples)
+            print(f"speech corpus: {pool.shape[0]} wavs from {args.wav_dir}", flush=True)
+        else:
+            print(
+                "--wav-dir ignored: both --data-dir and --val-dir are set, "
+                "nothing is synthesized", flush=True,
+            )
+    if args.data_dir:
         train = ds.load_all()
     else:
         train = D.make_dataset(k_train, args.dataset_size, config, speech_pool=pool)

@@ -24,7 +24,7 @@ def main():
     stage = args.stage or ("finetune" if store.has_stage("finetune") else "echoed")
     composite_params = store.load_stage(stage)["params"]
 
-    task = LocationTask(**task_kwargs(args, config))
+    task = LocationTask(**task_kwargs(args, config, location=True))
     emb, theta = tsne_rir_embedding(task, composite_params, data)
     np.savez(args.out, embedding=emb, theta=theta)
     print(f"t-SNE of {emb.shape[0]} RIR encodings written to {args.out}")

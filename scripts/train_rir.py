@@ -11,7 +11,7 @@ def main():
 
     from acoustic_locating_vq_vae_tpu.train import RirVQVAETask, Trainer
 
-    task = RirVQVAETask(**task_kwargs(args, config, supports_ema=True, supports_seq=True))
+    task = RirVQVAETask(**task_kwargs(args, config, supports_ema=True))
     trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 2), train)
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)

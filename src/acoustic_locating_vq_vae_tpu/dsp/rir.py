@@ -164,6 +164,12 @@ def generate_rir(
         return dist, gain
 
     if method == "block_matmul":
+        if tw % 2:
+            raise ValueError(
+                f"block_matmul requires even tw (got {tw}): the hoisted tap "
+                "parity assumes (-1)^p == (-1)^n_rel within a block; use "
+                "method='scatter' for odd tap counts"
+            )
         # Transcendental hoisting: taps sit at INTEGER positions p, so
         #   sin(pi*(p - d))        = -(-1)^p * sin(pi*d)
         #   cos(2*pi*(p - d)/Tw)   = cos(2*pi*p/Tw)cos(2*pi*d/Tw)

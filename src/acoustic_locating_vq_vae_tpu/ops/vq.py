@@ -161,11 +161,16 @@ class VectorQuantizer(nn.Module):
                 if self.ema_reset_threshold > 0.0:
                     # Re-seed dead codes from current batch rows (row choice
                     # is deterministic — code id mod batch rows — so the
-                    # restart is reproducible and identical across shards).
+                    # restart is reproducible).
                     dead = new_counts < self.ema_reset_threshold
                     seed_rows = sg_flat[
                         jnp.arange(self.num_embeddings) % sg_flat.shape[0]
                     ]
+                    if self.sequence_axis is not None:
+                        # Each shard indexes its LOCAL rows; average them so
+                        # the replicated codebook stays identical across
+                        # shards after a restart.
+                        seed_rows = jax.lax.pmean(seed_rows, self.sequence_axis)
                     new_sums = jnp.where(dead[:, None], seed_rows, new_sums)
                     new_counts = jnp.where(dead, 1.0, new_counts)
                 self.ema_counts.value = new_counts

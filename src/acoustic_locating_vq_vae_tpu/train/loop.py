@@ -273,7 +273,15 @@ class Trainer:
                     local_sample, mesh=self.mesh, axis_names={"data"},
                     in_specs=(P(),) + specs, out_specs=specs,
                 )(key, *leaves)
-                return jax.tree_util.tree_unflatten(treedef, out)
+                picked = jax.tree_util.tree_unflatten(treedef, out)
+                # Re-assert the full storage spec (incl. the seq axis on 3-D
+                # leaves) so no reshard is inserted before the loss.
+                return jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        a, NamedSharding(self.mesh, batch_spec(a))
+                    ),
+                    picked,
+                )
 
             idx = jax.random.choice(key, size, (take_n,), replace=False)
             picked = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)

@@ -16,7 +16,7 @@ Stage hyperparameters are the reference's:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -124,9 +124,12 @@ class SpeechVQVAETask(Task):
     # Mesh axis sharding the TIME dimension (long-sequence training,
     # SURVEY.md §5.7); implies the fixed channels-last VQ flatten.
     sequence_axis: object = None
-    # True (default) = the reference's memory-order VQ flatten
-    # (vector_quantizer.py:32); False = proper channels-last D-vectors.
-    compat_vq_flatten: bool = True
+    # None (auto) = the reference's memory-order flatten
+    # (vector_quantizer.py:32) unless sequence_axis is set (which needs the
+    # position-local vectors flatten). Explicit True together with
+    # sequence_axis raises in the model rather than silently overriding the
+    # requested compat semantics.
+    compat_vq_flatten: Optional[bool] = None
 
     def build_model(self) -> ConvolutionalVQVAE:
         s = lambda v: _scale(v, self.width_scale)
@@ -143,7 +146,11 @@ class SpeechVQVAETask(Task):
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
             sequence_axis=self.sequence_axis,
-            compat_vq_flatten=self.compat_vq_flatten and self.sequence_axis is None,
+            compat_vq_flatten=(
+                self.compat_vq_flatten
+                if self.compat_vq_flatten is not None
+                else self.sequence_axis is None
+            ),
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -175,12 +182,21 @@ class RirVQVAETask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
     vq_ema: bool = False
-    # Mesh axis sharding the conv length dimension (here the FREQ axis —
-    # this task feeds the transposed spectrogram, train_rir.py:45).
+    # Present for interface symmetry but REJECTED: this task's conv length
+    # is the 201-bin freq axis (it feeds the transposed spectrogram,
+    # train_rir.py:45) and its z-norm reduces over that axis, so sharding it
+    # would both be pointless (it is short) and silently wrong (shard-local
+    # normalization statistics).
     sequence_axis: object = None
-    compat_vq_flatten: bool = True
+    compat_vq_flatten: Optional[bool] = None
 
     def build_model(self) -> ConvolutionalVQVAE:
+        if self.sequence_axis is not None:
+            raise ValueError(
+                "RirVQVAETask does not support sequence parallelism: its conv "
+                "length is the (short) freq axis and znorm reduces over it; "
+                "use sequence parallelism on the speech stage"
+            )
         s = lambda v: _scale(v, self.width_scale)
         return ConvolutionalVQVAE(
             in_channels=self.config.num_frames,  # 500 time-frames-as-channels (train_rir.py:125)
@@ -195,8 +211,9 @@ class RirVQVAETask(Task):
             vq_backend=self.vq_backend,
             compute_dtype=_dtype(self.compute_dtype),
             vq_ema=self.vq_ema,
-            sequence_axis=self.sequence_axis,
-            compat_vq_flatten=self.compat_vq_flatten and self.sequence_axis is None,
+            compat_vq_flatten=(
+                self.compat_vq_flatten if self.compat_vq_flatten is not None else True
+            ),
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -218,8 +235,9 @@ class RirVQVAETask(Task):
 
 def _echoed_model(
     config: DatasetConfig, width_scale: float, vq_backend: str,
-    compute_dtype: str = "float32", compat_vq_flatten: bool = True,
+    compute_dtype: str = "float32", compat_vq_flatten: Optional[bool] = None,
 ):
+    compat_vq_flatten = True if compat_vq_flatten is None else compat_vq_flatten
     s = lambda v: _scale(v, width_scale)
     dt = _dtype(compute_dtype)
     rir_model = ConvolutionalVQVAE(
@@ -267,7 +285,7 @@ class EchoedSpeechTask(Task):
     # encoders drift from the frozen codebooks until they collapse
     # (VALIDATION.md); a nonzero weight anchors them. 0.0 = reference parity.
     commitment_weight: float = 0.0
-    compat_vq_flatten: bool = True
+    compat_vq_flatten: Optional[bool] = None
 
     def build_model(self) -> EchoedSpeechReconModel:
         return _echoed_model(
@@ -331,7 +349,7 @@ class LocationTask(Task):
     # "sincos": regress (sin theta, cos theta) and decode with atan2 — the
     # circular fixed-variant.
     target_mode: str = "normalized_angle"
-    compat_vq_flatten: bool = True
+    compat_vq_flatten: Optional[bool] = None
 
     def build_model(self) -> LocationModule:
         if self.input_mode == "quantized":

@@ -177,3 +177,18 @@ def test_reflection_order_zero_is_direct_path_only():
     lo, hi = int(dist_samples) - 70, int(dist_samples) + 70
     assert np.abs(imp[:max(lo, 0)]).max(initial=0.0) < 1e-3 * np.abs(imp).max()
     assert np.abs(imp[hi:]).max(initial=0.0) < 1e-3 * np.abs(imp).max()
+
+
+def test_block_matmul_rejects_odd_tw():
+    """The hoisted tap parity requires even tw; odd must raise, not produce
+    silently sign-flipped taps."""
+    import pytest
+    import jax.numpy as jnp
+
+    from acoustic_locating_vq_vae_tpu.dsp import generate_rir
+
+    with pytest.raises(ValueError, match="even tw"):
+        generate_rir(
+            jnp.array([1.0, 1.0, 1.0]), jnp.array([2.0, 2.0, 1.5]),
+            room=(4.0, 5.0, 3.0), nsample=256, fs=8000.0, rt60=0.25, tw=31,
+        )

@@ -274,3 +274,34 @@ def test_trainer_sequence_parallel_matches_degenerate_seq():
     assert set(m4) == set(m1)
     for k in m4:
         np.testing.assert_allclose(m4[k], m1[k], rtol=1e-5, err_msg=k)
+
+
+def test_rir_task_rejects_sequence_axis():
+    """The rir stage's conv length is the short freq axis and its znorm
+    reduces over it — sequence parallelism must be rejected, not wrong."""
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.train import RirVQVAETask
+
+    with pytest.raises(ValueError, match="sequence parallelism"):
+        RirVQVAETask(config=D.DatasetConfig(), sequence_axis="seq").build_model()
+
+
+def test_explicit_compat_flatten_with_sequence_axis_raises():
+    """An EXPLICIT compat-flatten request is never silently overridden
+    (CLAUDE.md: quirks are compat defaults, not silent fixes)."""
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.train import SpeechVQVAETask
+
+    task = SpeechVQVAETask(
+        config=D.DatasetConfig(), sequence_axis="seq", compat_vq_flatten=True
+    )
+    model = task.build_model()
+    with pytest.raises(ValueError, match="compat_vq_flatten"):
+        # setup() runs lazily at first access inside init and raises there
+        model.init(
+            {"params": jax.random.PRNGKey(0), "jitter": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 201, 16), jnp.float32),
+        )
+    # auto (None) resolves to the vectors flatten without error
+    auto = SpeechVQVAETask(config=D.DatasetConfig(), sequence_axis="seq").build_model()
+    assert auto.compat_vq_flatten is False
