@@ -51,6 +51,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--vq-ema", action="store_true",
         help="EMA codebook learning for the VQ stages (default: gradient codebook, reference parity)",
     )
+    p.add_argument(
+        "--cache-frozen", action="store_true",
+        help="precompute the frozen-branch VQ codes once per resident "
+        "dataset and train from them (echoed/location stages): "
+        "bit-equivalent steps at the decoder/MLP's cost alone; ignored by "
+        "stages without a frozen path, on-the-fly data, and --sequence-parallel",
+    )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument(
         "--profile-dir", default=None,
@@ -180,4 +187,5 @@ def trainer_kwargs(args):
         model_parallel=args.model_parallel,
         on_the_fly=getattr(args, "on_the_fly", False),
         profile_dir=getattr(args, "profile_dir", None),
+        cache_frozen=getattr(args, "cache_frozen", False),
     )

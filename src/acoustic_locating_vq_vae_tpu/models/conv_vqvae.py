@@ -245,6 +245,34 @@ class ConvolutionalVQVAE(nn.Module):
         recon = self._decoder(out.quantized, train=train)
         return out.loss, jnp.swapaxes(recon, -1, -2), out.perplexity
 
+    def get_latent_codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """VQ code indices, (B, rows_per_sample) — a compact exact encoding of
+        the frozen-VQ latent (500 int32 per speech sample instead of the
+        (D, L) f32 tensor). With a frozen codebook,
+        ``codes_to_latent(get_latent_codes(x))`` reproduces the quantized
+        latent of ``get_latent_representation`` up to f32 rounding (the
+        latter returns the straight-through value ``x + sg(q - x)``, which
+        differs from the exact codebook row ``q`` in the last bit); the trainer's
+        frozen-latent cache stores these per dataset row so the frozen
+        branches of the echoed/location stages (train_echoed_speech.py:89
+        recomputes them every step) run once per dataset instead of once per
+        step."""
+        out = self._encode(x, train_vq=False)
+        return out.indices.reshape(x.shape[0], -1)
+
+    def codes_to_latent(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`get_latent_codes`: (B, R) code ids -> quantized
+        latent (B, D, L), honoring the VQ flatten mode (R == L in both: the
+        memory-order flatten's rows-per-sample D*L/D and the vectors
+        flatten's L coincide because the VQ width equals embedding_dim)."""
+        b, r = codes.shape
+        q = self._vq.lookup(codes.reshape(-1)).reshape(b, r * self.embedding_dim)
+        if self.compat_vq_flatten:
+            # Rows are memory-order chunks of the (B, D, L) latent
+            # (vector_quantizer.py:32): the flat buffer IS that tensor.
+            return q.reshape(b, self.embedding_dim, r)
+        return jnp.swapaxes(q.reshape(b, r, self.embedding_dim), 1, 2)
+
     def get_latent_representation(
         self, x: jnp.ndarray, train_vq: bool = False, need_encodings: bool = True
     ):

@@ -81,15 +81,7 @@ class EchoedSpeechReconModel(nn.Module):
             spec_in, train_vq=False, need_encodings=False
         )  # (B, D_speech, L_speech)
 
-        size_diff = speech_q.shape[2] - rir_q.shape[2]
-        if size_diff > 0:  # right-pad RIR latent along time (:41-49)
-            rir_q = jnp.pad(rir_q, ((0, 0), (0, 0), (0, size_diff)))
-        elif size_diff < 0:
-            # The reference would crash here (it only pads the RIR side);
-            # generalized to right-pad the shorter latent either way.
-            speech_q = jnp.pad(speech_q, ((0, 0), (0, 0), (0, -size_diff)))
-
-        quantized = jnp.concatenate([speech_q, rir_q], axis=1)  # (B, D_s+D_r, L)
+        quantized = self._pad_concat(speech_q, rir_q)
         if not train_encoder:
             quantized = jax.lax.stop_gradient(quantized)  # :51-54
 
@@ -98,3 +90,48 @@ class EchoedSpeechReconModel(nn.Module):
         if return_vq_losses:
             return out + ({"speech": speech_vq_loss, "rir": rir_vq_loss},)
         return out
+
+    @staticmethod
+    def _pad_concat(speech_q: jnp.ndarray, rir_q: jnp.ndarray) -> jnp.ndarray:
+        """Right-pad the shorter latent along time, concat on channels
+        (echoed_speech_model.py:41-49 pads only the RIR side and would crash
+        the other way; generalized)."""
+        size_diff = speech_q.shape[2] - rir_q.shape[2]
+        if size_diff > 0:
+            rir_q = jnp.pad(rir_q, ((0, 0), (0, 0), (0, size_diff)))
+        elif size_diff < 0:
+            speech_q = jnp.pad(speech_q, ((0, 0), (0, 0), (0, -size_diff)))
+        return jnp.concatenate([speech_q, rir_q], axis=1)  # (B, D_s+D_r, L)
+
+    def encode_codes(self, spec_in: jnp.ndarray, spec_in_rir: jnp.ndarray):
+        """Frozen-branch VQ code ids — the frozen-latent cache entries. With
+        both encoders and codebooks frozen (train_encoder=False, the echoed
+        stage's configuration), these are constant per sample, so the trainer
+        precomputes them once per dataset instead of re-running both encoder
+        stacks every step (train_echoed_speech.py recomputes per step)."""
+        return {
+            "speech_codes": self.speech_model.get_latent_codes(spec_in),
+            "rir_codes": self.rir_model.get_latent_codes(spec_in_rir),
+        }
+
+    def decode_from_codes(
+        self, speech_codes: jnp.ndarray, rir_codes: jnp.ndarray, train: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Decoder-only forward from cached code ids: reproduces
+        ``__call__(..., train_encoder=False)`` (same quantized latents via
+        codebook lookup — up to f32 rounding of the straight-through
+        expression ``x + sg(q - x)`` the uncached path returns — same
+        per-batch perplexities from the code histogram, same jitter stream:
+        the decoder submodule path is identical) at the decoder's cost
+        alone."""
+        from ..ops.vq import perplexity_from_indices
+
+        speech_q = self.speech_model.codes_to_latent(speech_codes)
+        rir_q = self.rir_model.codes_to_latent(rir_codes)
+        quantized = jax.lax.stop_gradient(self._pad_concat(speech_q, rir_q))
+        recon = self._decoder(jnp.swapaxes(quantized, -1, -2), train=train)
+        speech_perp = perplexity_from_indices(
+            speech_codes, self.speech_model.num_embeddings
+        )
+        rir_perp = perplexity_from_indices(rir_codes, self.rir_model.num_embeddings)
+        return jnp.swapaxes(recon, -1, -2), speech_perp, rir_perp

@@ -31,7 +31,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
 
-__all__ = ["VectorQuantizer", "nearest_codebook", "VQOutput"]
+__all__ = ["VectorQuantizer", "nearest_codebook", "VQOutput", "perplexity_from_indices"]
+
+
+def perplexity_from_indices(indices: jnp.ndarray, num_embeddings: int) -> jnp.ndarray:
+    """exp(entropy of code usage) over all given assignments — the same
+    statistic VectorQuantizer computes over a batch (vector_quantizer.py:55-56),
+    recomputable from stored code ids alone (used by the frozen-latent cache,
+    where the one-hot rows are never materialized)."""
+    flat = indices.reshape(-1)
+    counts = jnp.zeros(num_embeddings, jnp.float32).at[flat].add(1.0)
+    avg_probs = counts / flat.shape[0]
+    return jnp.exp(-jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)))
 
 
 def nearest_codebook(flat_x: jnp.ndarray, codebook: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -109,6 +120,12 @@ class VectorQuantizer(nn.Module):
             self.codebook = self.param(
                 "codebook", cb_init, (self.num_embeddings, self.embedding_dim)
             )
+
+    def lookup(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """Codebook rows for stored code ids — the inverse of the assignment,
+        used to rebuild quantized latents from a frozen-latent cache."""
+        codebook = self.codebook_var.value if self.ema else self.codebook
+        return jnp.take(codebook, indices, axis=0)
 
     def __call__(
         self, inputs: jnp.ndarray, train_vq: bool = True, need_encodings: bool = False

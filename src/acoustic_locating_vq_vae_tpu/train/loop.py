@@ -112,6 +112,7 @@ class Trainer:
         on_the_fly: bool = False,
         synth_kwargs: Optional[Dict] = None,
         profile_dir: Optional[str] = None,
+        cache_frozen: bool = False,
     ):
         """``on_the_fly=True`` synthesizes a FRESH training batch inside every
         jitted step (data/synth.py fused into the step program) instead of
@@ -121,6 +122,14 @@ class Trainer:
         self.task = task
         self.on_the_fly = on_the_fly
         self.synth_kwargs = synth_kwargs or {}
+        # Frozen-latent cache: for stages whose loss re-runs FROZEN encoder
+        # stacks on constant data every step (echoed: both branch encoders,
+        # train_echoed_speech.py:89; location: the whole composite,
+        # train_location.py:69), precompute the VQ code ids once per resident
+        # dataset and train from them — bit-equivalent steps at the
+        # decoder/MLP's cost alone. Ignored for tasks without a frozen path,
+        # on-the-fly data, and sequence-sharded runs.
+        self.cache_frozen = cache_frozen
         self.mesh = mesh if mesh is not None else local_mesh()
         self.model_parallel = model_parallel
         # Sequence parallelism (SURVEY.md §5.7): when the task names a mesh
@@ -195,12 +204,23 @@ class Trainer:
 
     # ------------------------------------------------------------------ step
 
-    def _loss(self, params, batch: SampleBatch, rngs: Dict, train: bool, variables=None):
+    def _loss(
+        self, params, batch: SampleBatch, rngs: Dict, train: bool, variables=None,
+        cache=None,
+    ):
         if isinstance(self.task, LocationTask):
-            enc = self.task.encodings_from_composite(self.composite, self.composite_params, batch)
+            enc = (
+                self.task.feats_from_codes(self.composite, self.composite_params, cache)
+                if cache is not None
+                else self.task.encodings_from_composite(
+                    self.composite, self.composite_params, batch
+                )
+            )
             return self.task.loss(
                 self.model, params, batch, rngs, train, encodings=enc, variables=variables
             )
+        if cache is not None:
+            return self.task.loss_cached(self.model, params, batch, cache, rngs, train)
         if self.seq_axis is not None:
             return self._sequence_sharded_loss(params, batch, rngs, train, variables)
         return self.task.loss(self.model, params, batch, rngs, train, variables=variables)
@@ -294,7 +314,11 @@ class Trainer:
             )
 
         def step(state: TrainState, data: SampleBatch, dataset_size: int, is_train: bool):
+            # ``data`` is either a SampleBatch or (SampleBatch, frozen-latent
+            # cache); the cache rows are co-sampled with their batch rows.
+            has_cache = isinstance(data, tuple)
             rng, k_sample, k_jitter = jax.random.split(state.rng, 3)
+            cache_b = None
             if is_train and self.on_the_fly:
                 from ..data.synth import synthesize_batch
 
@@ -308,12 +332,13 @@ class Trainer:
                     batch,
                 )
             else:
-                batch = sample(data, k_sample, dataset_size)
+                picked = sample(data, k_sample, dataset_size)
+                batch, cache_b = picked if has_cache else (picked, None)
             rngs = {"jitter": k_jitter} if "jitter" in self.task.rng_streams else {}
 
             if is_train:
                 (loss, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
-                    state.params, batch, rngs, True, state.variables
+                    state.params, batch, rngs, True, state.variables, cache_b
                 )
                 metrics = dict(metrics)
                 new_vars = metrics.pop("_variables", state.variables)
@@ -324,7 +349,9 @@ class Trainer:
                     variables=new_vars,
                 )
             else:
-                loss, metrics = self._loss(state.params, batch, rngs, False, state.variables)
+                loss, metrics = self._loss(
+                    state.params, batch, rngs, False, state.variables, cache_b
+                )
                 metrics = dict(metrics)
                 metrics.pop("_variables", None)
                 new_state = state.replace(step=state.step + 1, rng=rng)
@@ -379,6 +406,23 @@ class Trainer:
             )
             n_val = int(val_data.speech_spec.shape[0])
 
+        # Frozen-latent cache (see __init__): precompute per-row VQ codes of
+        # the frozen branches once, then train from (batch, cache) operands.
+        caching = (
+            self.cache_frozen
+            and self.seq_axis is None
+            and getattr(self.task, "supports_cache", False)
+        )
+        train_op: Any = train_data
+        val_op: Any = val_data
+        if caching:
+            if not self.on_the_fly:
+                train_op = (train_data, self._build_cache(state, train_data))
+            if val_data is not None:
+                val_op = (val_data, self._build_cache(state, val_data))
+            if self.verbose:
+                print(f"[{self.task.name}] frozen-latent cache built", flush=True)
+
         history = TrainHistory()
         t0 = time.time()
         frames = 0
@@ -394,9 +438,9 @@ class Trainer:
                 and (i + 1) % self.task.eval_every == 0
             )
             if is_val:
-                state, metrics = self._step_fn(state, val_data, n_val, False)
+                state, metrics = self._step_fn(state, val_op, n_val, False)
             else:
-                state, metrics = self._step_fn(state, train_data, n_train, True)
+                state, metrics = self._step_fn(state, train_op, n_train, True)
                 frames += self.task.batch_size * self.task.config.num_frames if hasattr(self.task, "config") else 0
             history.append(metrics, val=is_val)
 
@@ -423,6 +467,31 @@ class Trainer:
         if self.store:
             self.save_checkpoint(state, tag=self.task.name, final=True)
         return state, history
+
+    def _build_cache(self, state: TrainState, data: SampleBatch):
+        """Chunked jitted precompute of the task's frozen-latent cache over a
+        resident dataset; result is batch-sharded like the dataset. Valid for
+        the whole stage: the cached branches receive zero gradient (their
+        latents are stop-gradient'd in the loss), so their parameters are
+        bit-constant under any optax transform that maps zero grads to zero
+        updates (Adam does)."""
+        task = self.task
+        if isinstance(task, LocationTask):
+            fn = jax.jit(
+                lambda b: task.build_cache(self.composite, self.composite_params, b)
+            )
+            call = lambda b: fn(b)
+        else:
+            fn = jax.jit(lambda b, p: task.build_cache(self.model, p, b))
+            call = lambda b: fn(b, state.params)
+        n = int(data.speech_spec.shape[0])
+        chunk = min(n, max(int(self.task.batch_size), 8))
+        outs = []
+        for i in range(0, n, chunk):
+            b = jax.tree_util.tree_map(lambda a: a[i : i + chunk], data)
+            outs.append(call(b))
+        cache = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return jax.device_put(cache, batch_shardings(cache, self.mesh))
 
     # ----------------------------------------------------------- checkpoints
 

@@ -316,6 +316,39 @@ class EchoedSpeechTask(Task):
             "rir_perplexity": rir_perp,
         }
 
+    # ----- frozen-latent cache (TPU-native optimization, no reference
+    # counterpart: train_echoed_speech.py re-runs both frozen encoder stacks
+    # every step even though their outputs are constant per sample) -----
+
+    @property
+    def supports_cache(self) -> bool:
+        # Frozen branches only: with train_encoder=True the encoder outputs
+        # change every step; with a commitment anchor the branch VQ losses
+        # (not cached) enter the loss.
+        return not self.train_encoder and not self.commitment_weight
+
+    def build_cache(self, model, params, batch: SampleBatch):
+        """Per-sample frozen-branch VQ code ids (exact, compact)."""
+        x, x_rir = self.model_inputs(batch)
+        return model.apply({"params": params}, x, x_rir, method=model.encode_codes)
+
+    def loss_cached(self, model, params, batch, cache, rngs, train):
+        """Decoder-only step from cached codes — bit-equivalent to loss()
+        in this task's frozen configuration (same quantized latents, same
+        jitter stream, same metrics), minus both encoder stacks."""
+        x, _ = self.model_inputs(batch)
+        recon, speech_perp, rir_perp = model.apply(
+            {"params": params}, cache["speech_codes"], cache["rir_codes"],
+            train=train, rngs=rngs, method=model.decode_from_codes,
+        )
+        recon = recon[..., : x.shape[-1]]
+        recon_error = jnp.mean((recon - x) ** 2)
+        return recon_error, {
+            "recon_error": recon_error,
+            "speech_perplexity": speech_perp,
+            "rir_perplexity": rir_perp,
+        }
+
 
 @dataclasses.dataclass(frozen=True)
 class EncoderFinetuneTask(EchoedSpeechTask):
@@ -386,6 +419,41 @@ class LocationTask(Task):
             feats = jnp.swapaxes(q, 1, 2)  # (B, F, D_rir)
         else:
             feats = enc.reshape(q.shape[0], self.config.num_freq, -1)
+        return jax.lax.stop_gradient(feats)
+
+    # ----- frozen-latent cache: the whole composite is frozen at location
+    # time (train_location.py:69), so the RIR-branch codes are constant per
+    # sample — cache them and the step reduces to the MLP. -----
+
+    @property
+    def supports_cache(self) -> bool:
+        return True
+
+    def build_cache(self, composite, composite_params, batch: SampleBatch):
+        x = znorm(batch.echoed_spec, axis=1)
+        x_trans = jnp.swapaxes(x, 1, 2)
+        codes = composite.rir_model.apply(
+            {"params": composite_params["rir_model"]},
+            x_trans,
+            method=composite.rir_model.get_latent_codes,
+        )
+        return {"rir_codes": codes}
+
+    def feats_from_codes(self, composite, composite_params, cache):
+        """Rebuild the location input from cached codes — identical to
+        encodings_from_composite (one-hot of the same ids / codebook lookup
+        of the same ids) without the encoder forward."""
+        codes = cache["rir_codes"]  # (B, F)
+        if self.input_mode == "quantized":
+            q = composite.rir_model.apply(
+                {"params": composite_params["rir_model"]},
+                codes,
+                method=composite.rir_model.codes_to_latent,
+            )  # (B, D_rir, F)
+            feats = jnp.swapaxes(q, 1, 2)
+        else:
+            k = composite.rir_model.num_embeddings
+            feats = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (B, F, K)
         return jax.lax.stop_gradient(feats)
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:

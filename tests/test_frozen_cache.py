@@ -1,0 +1,131 @@
+"""Frozen-latent cache tests: cached echoed/location training matches the
+uncached path (same sampled batches, same quantized latents via codebook
+lookup, same jitter stream, same metrics) up to f32 rounding — the uncached
+path's straight-through value ``x + sg(q - x)`` differs from the exact
+codebook row in the last bit, so short trainings agree to ~1e-3 relative.
+Also: codes round-trip through codes_to_latent in both VQ flatten modes, and
+the cache co-samples correctly under a data-parallel mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acoustic_locating_vq_vae_tpu import data as D
+from acoustic_locating_vq_vae_tpu.parallel import make_mesh
+from acoustic_locating_vq_vae_tpu.train import (
+    EchoedSpeechTask,
+    EncoderFinetuneTask,
+    LocationTask,
+    Trainer,
+)
+
+SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+WS = 1 / 32
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    train = D.make_dataset(jax.random.PRNGKey(0), 32, SMALL, batch=16, rir_chunk=2048)
+    val = D.make_dataset(jax.random.PRNGKey(1), 16, SMALL, batch=16, rir_chunk=2048)
+    return train, val
+
+
+@pytest.mark.parametrize("compat_flatten", [True, False])
+def test_codes_roundtrip_both_flatten_modes(datasets, compat_flatten):
+    """codes_to_latent(get_latent_codes(x)) equals the quantized latent of
+    get_latent_representation (up to STE f32 rounding) in both flatten
+    modes."""
+    train, _ = datasets
+    task = EchoedSpeechTask(
+        config=SMALL, width_scale=WS, batch_size=4, compat_vq_flatten=compat_flatten
+    )
+    tr = Trainer(task, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(2), train)
+    x, x_rir = task.model_inputs(jax.tree_util.tree_map(lambda a: a[:4], train))
+    model = tr.model
+    for sub, inp in (("speech_model", x), ("rir_model", x_rir)):
+        m = getattr(model, sub)
+        params = {"params": st.params[sub]}
+        _, q, _, _ = m.apply(params, inp, method=m.get_latent_representation)
+        codes = m.apply(params, inp, method=m.get_latent_codes)
+        q2 = m.apply(params, codes, method=m.codes_to_latent)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q2), rtol=1e-4, atol=1e-6)
+
+
+def _fit_histories(task, datasets, cache_frozen, mesh=None, composite_params=None, updates=20):
+    train, val = datasets
+    tr = Trainer(
+        task, mesh=mesh, verbose=False, cache_frozen=cache_frozen,
+        composite_params=composite_params,
+    )
+    st = tr.init_state(jax.random.PRNGKey(3), train)
+    st, hist = tr.fit(st, train, val, num_updates=updates)
+    return hist.finalize(), st
+
+
+@pytest.mark.parametrize("compat_flatten", [True, False])
+def test_cached_echoed_training_is_bit_equivalent(datasets, compat_flatten):
+    task = EchoedSpeechTask(
+        config=SMALL, width_scale=WS, batch_size=8, eval_every=10,
+        compat_vq_flatten=compat_flatten,
+    )
+    ref, st_ref = _fit_histories(task, datasets, cache_frozen=False)
+    got, st_got = _fit_histories(task, datasets, cache_frozen=True)
+    for split in ("train", "val"):
+        for k in ref[split]:
+            np.testing.assert_allclose(
+                got[split][k], ref[split][k], rtol=3e-3, atol=1e-5,
+                err_msg=f"{split}/{k} diverged under caching",
+            )
+    # trained decoder params match too (atol covers STE-rounding drift
+    # amplified through 20 Adam steps on near-zero params)
+    a = jax.device_get(st_ref.params["_decoder"])
+    b = jax.device_get(st_got.params["_decoder"])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=3e-3, atol=1e-4), a, b
+    )
+
+
+def test_cache_refused_for_unfrozen_or_anchored():
+    assert not EncoderFinetuneTask(config=SMALL, width_scale=WS).supports_cache
+    assert not EchoedSpeechTask(
+        config=SMALL, width_scale=WS, commitment_weight=0.25
+    ).supports_cache
+    assert EchoedSpeechTask(config=SMALL, width_scale=WS).supports_cache
+    assert LocationTask(config=SMALL, width_scale=WS).supports_cache
+
+
+@pytest.mark.parametrize("input_mode", ["encodings", "quantized"])
+def test_cached_location_training_is_bit_equivalent(datasets, input_mode):
+    train, _ = datasets
+    # a composite to read latents from (fresh init params suffice here)
+    echoed = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8)
+    comp_tr = Trainer(echoed, verbose=False)
+    comp_params = comp_tr.init_state(jax.random.PRNGKey(5), train).params
+
+    task = LocationTask(
+        config=SMALL, width_scale=WS, batch_size=8, eval_every=10, input_mode=input_mode
+    )
+    ref, _ = _fit_histories(task, datasets, False, composite_params=comp_params)
+    got, _ = _fit_histories(task, datasets, True, composite_params=comp_params)
+    for split in ("train", "val"):
+        for k in ref[split]:
+            np.testing.assert_allclose(
+                got[split][k], ref[split][k], rtol=3e-3, atol=1e-5,
+                err_msg=f"{split}/{k} diverged under caching ({input_mode})",
+            )
+
+
+def test_cached_training_under_dp_mesh(datasets):
+    """Cache rows co-sample with batch rows under an 8-way data mesh: the
+    cached run equals the uncached run on the same mesh."""
+    task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8, eval_every=10)
+    mesh = make_mesh(data=8)
+    ref, _ = _fit_histories(task, datasets, False, mesh=mesh)
+    got, _ = _fit_histories(task, datasets, True, mesh=mesh)
+    for k in ref["train"]:
+        np.testing.assert_allclose(
+            got["train"][k], ref["train"][k], rtol=3e-3, atol=1e-5
+        )
