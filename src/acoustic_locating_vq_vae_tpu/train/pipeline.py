@@ -132,7 +132,15 @@ def run_pipeline(
     # Stage 3: composite with grafted pretrained encoders. EMA-trained
     # codebooks live in TrainState.variables["vq_stats"]; graft converts them
     # into the composite's frozen param-mode codebook slots.
-    echoed_task = EchoedSpeechTask(**kw, commitment_weight=commitment_weight)
+    #
+    # NO commitment anchor here: the anchor was validated for the FINETUNE
+    # stage, where the unfrozen encoders also receive reconstruction
+    # gradients that balance it. In this stage the latents are
+    # stop-gradient'd (train_encoder=False), so an anchor would be the ONLY
+    # gradient reaching the branch encoders — pure commitment pull with
+    # nothing opposing it collapses them (measured: speech perplexity -> 1.0
+    # and echoed recon stuck at ~0.77 vs ~0.16 unanchored, VALIDATION.md).
+    echoed_task = EchoedSpeechTask(**kw)
     trainer = Trainer(echoed_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
     state = trainer.init_state(keys[2], train_data)
     grafted = graft_pretrained(

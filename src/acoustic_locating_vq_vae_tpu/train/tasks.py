@@ -284,6 +284,10 @@ class EchoedSpeechTask(Task):
     # loss. The reference's phase-2 loss is recon-only, which lets unfrozen
     # encoders drift from the frozen codebooks until they collapse
     # (VALIDATION.md); a nonzero weight anchors them. 0.0 = reference parity.
+    # Only meaningful with train_encoder=True: on a FROZEN stage the
+    # stop-gradient'd latents give encoders no recon gradient, so the anchor
+    # becomes their only gradient — unopposed commitment pull collapses them
+    # (measured: speech perplexity -> 1.0, VALIDATION.md round 2).
     commitment_weight: float = 0.0
     compat_vq_flatten: Optional[bool] = None
 
