@@ -21,6 +21,12 @@ def main():
     )
     p.add_argument("--commitment-weight", type=float, default=None,
                    help="override the preset's fine-tune VQ anchor weight")
+    p.add_argument(
+        "--joint-location", action="store_true",
+        help="append stage 6 (beyond parity): fine-tune the RIR encoder "
+        "jointly with a fresh location head on the angle loss, seeded from "
+        "the fine-tuned composite",
+    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -42,6 +48,7 @@ def main():
         compat_vq_flatten=(
             None if args.vq_flatten is None else args.vq_flatten == "compat"
         ),
+        joint_location=args.joint_location,
         **trainer_kwargs(args),
     )
 
@@ -59,6 +66,23 @@ def main():
         task, res["location"][0], res["finetune"][0], val if val is not None else train
     )
     print("final location evaluation:", json.dumps(metrics, indent=2))
+
+    if args.joint_location:
+        from acoustic_locating_vq_vae_tpu.eval import evaluate_joint_location
+        from acoustic_locating_vq_vae_tpu.train import JointLocationTask
+
+        joint_task = JointLocationTask(
+            config=config, width_scale=width, vq_backend=args.vq_backend,
+            compute_dtype=args.compute_dtype,
+            compat_vq_flatten=(
+                args.vq_flatten == "compat" if args.vq_flatten is not None else not fixed
+            ),
+            target_mode=args.location_target_mode or "normalized_angle",
+        )
+        jm = evaluate_joint_location(
+            joint_task, res["location_joint"][0], val if val is not None else train
+        )
+        print("joint location evaluation:", json.dumps(jm, indent=2))
 
 
 if __name__ == "__main__":

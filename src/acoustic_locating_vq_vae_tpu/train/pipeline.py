@@ -24,6 +24,7 @@ from .loop import Trainer, TrainHistory, TrainState
 from .tasks import (
     EchoedSpeechTask,
     EncoderFinetuneTask,
+    JointLocationTask,
     LocationTask,
     RirVQVAETask,
     SpeechVQVAETask,
@@ -80,6 +81,7 @@ def run_pipeline(
     location_input_mode: Optional[str] = None,
     location_target_mode: Optional[str] = None,
     compat_vq_flatten: Optional[bool] = None,
+    joint_location: bool = False,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history, variables)}
@@ -175,4 +177,27 @@ def run_pipeline(
         **trainer_kwargs,
     )
     results["location"] = (loc_state.params, h, loc_state.variables)
+
+    # Optional stage 6 (beyond parity, ``joint_location=True``): fine-tune
+    # the RIR encoder JOINTLY with a fresh location head on the angle loss,
+    # seeded from the fine-tuned composite — the representation adapts to
+    # the localization objective, which the reference's frozen-composite
+    # design never allows (train_location.py:69).
+    if joint_location:
+        joint_task = JointLocationTask(
+            config=config, width_scale=width_scale, vq_backend=vq_backend,
+            compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
+            target_mode=location_target_mode or "normalized_angle",
+        )
+        # (cache_frozen in trainer_kwargs is ignored: the joint stage trains
+        # the encoder, so the task exposes no frozen path to cache)
+        trainer = Trainer(joint_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
+        key6 = jax.random.fold_in(key, 6)
+        j_state = trainer.init_state(key6, train_data if train_data is not None else val_data)
+        seeded = joint_task.seed_params(j_state.params, ft_state.params)
+        j_state = j_state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
+        j_state, h = trainer.fit(
+            j_state, train_data, val_data, num_updates=updates.get("location_joint")
+        )
+        results["location_joint"] = (j_state.params, h, j_state.variables)
     return results

@@ -387,3 +387,27 @@ def test_joint_location_task_trains_encoder(datasets, tmp_path):
     cb1 = np.asarray(st.params["rir_model"]["_vq"]["codebook"])
     assert not np.array_equal(enc0, enc1)
     np.testing.assert_array_equal(cb0, cb1)
+
+
+def test_pipeline_joint_location_stage(datasets):
+    """joint_location=True appends stage 6: a JointLocationTask seeded from
+    the fine-tuned composite (rir encoder + codebook copied), trained on the
+    angle loss, with its results under 'location_joint'."""
+    train, val = datasets
+    res = run_pipeline(
+        jax.random.PRNGKey(11), train, val, config=SMALL, width_scale=WS,
+        mesh=make_mesh(data=8), verbose=False, preset="fixed",
+        updates=dict(speech=6, rir=6, echoed=4, finetune=4, location=6, location_joint=8),
+        joint_location=True,
+    )
+    params, hist, _ = res["location_joint"]
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["location_error"]).all()
+    assert len(f["train"]["location_error"]) > 0
+    # seeded from the finetuned composite: frozen codebook subtree matches
+    np.testing.assert_array_equal(
+        np.asarray(params["rir_model"]["_vq"]["codebook"]),
+        np.asarray(res["finetune"][0]["rir_model"]["_vq"]["codebook"]),
+    )
+    # the head is part of the joint tree
+    assert "head" in params
