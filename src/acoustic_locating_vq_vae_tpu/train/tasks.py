@@ -83,6 +83,12 @@ class Task:
         (stride-1 conv stacks), letting init run on a short truncation."""
         return True
 
+    @property
+    def supports_cache(self) -> bool:
+        """Whether the task exposes a frozen path the Trainer may cache
+        (build_cache / loss_cached or feats_from_codes). Default: no."""
+        return False
+
 
 
 def _dtype(name: str):

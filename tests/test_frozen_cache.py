@@ -129,3 +129,42 @@ def test_cached_training_under_dp_mesh(datasets):
         np.testing.assert_allclose(
             got["train"][k], ref["train"][k], rtol=3e-3, atol=1e-5
         )
+
+
+def test_cached_training_with_resume(datasets, tmp_path):
+    """Resume rebuilds the cache AFTER restoring the checkpoint (fit order),
+    from the restored params: the resumed state starts bit-equal to the
+    interrupted run's step-10 checkpoint and training continues to 20.
+    (Trajectory equality with an uninterrupted run is not claimed: the
+    sampling rng is not part of the checkpoint.)"""
+    train, val = datasets
+
+    def make():
+        task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=10)
+        tr = Trainer(
+            task, verbose=False, cache_frozen=True, checkpoint_dir=str(tmp_path)
+        )
+        st = tr.init_state(jax.random.PRNGKey(7), train)
+        return tr, st
+
+    tr, st = make()
+    st10, _ = tr.fit(st, train, val, num_updates=10)
+    kern10 = np.asarray(
+        jax.device_get(st10.params["_decoder"]["conv_1"]["Conv_0"]["kernel"])
+    )
+
+    tr2, st2 = make()
+    restored = tr2.restore_latest(st2)
+    assert restored is not None and restored[1] == 10
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored[0].params["_decoder"]["conv_1"]["Conv_0"]["kernel"])),
+        kern10,
+    )
+    st3, hist = tr2.fit(st2, train, val, num_updates=20, resume=True)
+    assert int(jax.device_get(st3.step)) == 20
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["recon_error"]).all()
+    kern20 = np.asarray(
+        jax.device_get(st3.params["_decoder"]["conv_1"]["Conv_0"]["kernel"])
+    )
+    assert not np.array_equal(kern10, kern20)  # training continued post-resume
