@@ -36,7 +36,10 @@ def main():
     from acoustic_locating_vq_vae_tpu.train import LocationTask, run_pipeline
 
     width = 1 / 16 if args.smoke else args.width_scale
-    updates = {k: args.updates for k in ("speech", "rir", "echoed", "finetune", "location")} if args.updates else None
+    stages = ("speech", "rir", "echoed", "finetune", "location") + (
+        ("location_joint",) if args.joint_location else ()
+    )
+    updates = {k: args.updates for k in stages} if args.updates else None
     res = run_pipeline(
         jax.random.PRNGKey(args.seed), train, val, store_dir=args.store_dir,
         config=config, width_scale=width, updates=updates, mesh=mesh,
