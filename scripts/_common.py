@@ -54,9 +54,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--cache-frozen", action="store_true",
         help="precompute the frozen-branch VQ codes once per resident "
-        "dataset and train from them (echoed/location stages): "
-        "bit-equivalent steps at the decoder/MLP's cost alone; ignored by "
-        "stages without a frozen path, on-the-fly data, and --sequence-parallel",
+        "dataset and train from them (echoed/location stages): same "
+        "batches and metrics up to f32 rounding, at the decoder/MLP's "
+        "cost alone; ignored by stages without a frozen path, on-the-fly "
+        "data, and --sequence-parallel",
     )
     p.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     p.add_argument(

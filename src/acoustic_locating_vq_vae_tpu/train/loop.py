@@ -126,9 +126,11 @@ class Trainer:
         # stacks on constant data every step (echoed: both branch encoders,
         # train_echoed_speech.py:89; location: the whole composite,
         # train_location.py:69), precompute the VQ code ids once per resident
-        # dataset and train from them — bit-equivalent steps at the
-        # decoder/MLP's cost alone. Ignored for tasks without a frozen path,
-        # on-the-fly data, and sequence-sharded runs.
+        # dataset and train from them — same batches, jitter stream, and
+        # metrics, equivalent up to f32 rounding of the straight-through
+        # value (tests/test_frozen_cache.py), at the decoder/MLP's cost
+        # alone. Ignored for tasks without a frozen path, on-the-fly data,
+        # and sequence-sharded runs.
         self.cache_frozen = cache_frozen
         self.mesh = mesh if mesh is not None else local_mesh()
         self.model_parallel = model_parallel
@@ -416,12 +418,18 @@ class Trainer:
         train_op: Any = train_data
         val_op: Any = val_data
         if caching:
+            built = []
             if not self.on_the_fly:
                 train_op = (train_data, self._build_cache(state, train_data))
-            if val_data is not None:
+                built.append("train")
+            if val_data is not None and self.val_replaces_train:
                 val_op = (val_data, self._build_cache(state, val_data))
-            if self.verbose:
-                print(f"[{self.task.name}] frozen-latent cache built", flush=True)
+                built.append("val")
+            if self.verbose and built:
+                print(
+                    f"[{self.task.name}] frozen-latent cache built ({'+'.join(built)})",
+                    flush=True,
+                )
 
         history = TrainHistory()
         t0 = time.time()
@@ -480,7 +488,7 @@ class Trainer:
             fn = jax.jit(
                 lambda b: task.build_cache(self.composite, self.composite_params, b)
             )
-            call = lambda b: fn(b)
+            call = fn
         else:
             fn = jax.jit(lambda b, p: task.build_cache(self.model, p, b))
             call = lambda b: fn(b, state.params)
