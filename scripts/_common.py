@@ -76,7 +76,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--location-target-mode", choices=["normalized_angle", "sincos"], default=None,
-        help="location target: theta/pi MSE (reference) or circular (sin, cos)",
+        help="location target: theta/pi MSE (reference) or circular (sin, cos). "
+        "Default: normalized_angle for the frozen location stage (reference "
+        "parity), sincos for --joint (best validated, VALIDATION.md)",
     )
     p.add_argument(
         "--wav-dir", default=None,

@@ -80,7 +80,7 @@ def main():
             compat_vq_flatten=(
                 args.vq_flatten == "compat" if args.vq_flatten is not None else not fixed
             ),
-            target_mode=args.location_target_mode or "normalized_angle",
+            target_mode=args.location_target_mode or "sincos",
         )
         jm = evaluate_joint_location(
             joint_task, res["location_joint"][0], val if val is not None else train

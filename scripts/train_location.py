@@ -53,9 +53,10 @@ def main():
         state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
+    tgt = "(sin,cos)" if getattr(task, "target_mode", "") == "sincos" else "theta/pi"
     print(
         f"done: final location MSE {f['train']['location_error'][-100:].mean():.5f} "
-        f"(target theta/pi); stage {task.name!r} saved to {args.store_dir}"
+        f"(target {tgt}); stage {task.name!r} saved to {args.store_dir}"
     )
     if args.joint and (val is not None or train is not None):
         import json

@@ -106,6 +106,11 @@ def run_pipeline(
     vq_ema = bool(vq_ema) if vq_ema is not None else False
     commitment_weight = commitment_weight if commitment_weight is not None else (0.25 if fixed else 0.0)
     location_input_mode = location_input_mode or ("quantized" if fixed else "encodings")
+    # The joint stage (6) defaults to the circular sincos target (best
+    # validated, VALIDATION.md); the frozen stage-5 location keeps theta/pi
+    # unless the caller asks otherwise (sincos stalls at the mean attractor
+    # on stage 5's weak frozen inputs).
+    joint_target_mode = location_target_mode or "sincos"
     location_target_mode = location_target_mode or "normalized_angle"
     compat_vq_flatten = compat_vq_flatten if compat_vq_flatten is not None else not fixed
 
@@ -187,7 +192,7 @@ def run_pipeline(
         joint_task = JointLocationTask(
             config=config, width_scale=width_scale, vq_backend=vq_backend,
             compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
-            target_mode=location_target_mode or "normalized_angle",
+            target_mode=joint_target_mode,
         )
         # (cache_frozen in trainer_kwargs is ignored: the joint stage trains
         # the encoder, so the task exposes no frozen path to cache)

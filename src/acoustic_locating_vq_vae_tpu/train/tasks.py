@@ -547,7 +547,12 @@ class JointLocationTask(Task):
     vq_backend: str = "xla"
     compute_dtype: str = "float32"
     compat_vq_flatten: bool = False  # one-hot-free gradients need vectors
-    target_mode: str = "normalized_angle"
+    # sincos default: the circular target removes the ±pi wraparound and
+    # halves the held-out coordinate RMSE vs theta/pi regression on this
+    # stage (0.201 -> 0.129 m, VALIDATION.md). The frozen stage-5
+    # LocationTask keeps "normalized_angle" (reference parity; sincos
+    # collapses to the mean attractor on its weak inputs).
+    target_mode: str = "sincos"
     output_dim: int = 1
     commitment_weight: float = 0.25
 
