@@ -28,7 +28,22 @@ def main():
     loc_params = store.load_stage("location")["params"]
 
     stages = args.stages or [s for s in ("echoed", "finetune") if store.has_stage(s)]
-    task = LocationTask(**task_kwargs(args, config, location=True))
+    kw = task_kwargs(args, config, location=True)
+    # Self-configure from the checkpoint unless flags say otherwise: the
+    # head's fc_1 input width is num_freq * D_rir for quantized features,
+    # num_freq * K for one-hot encodings; fc_5 emits 2 for sincos, 1 for
+    # theta/pi. (The shipped pipeline preset trains quantized/theta-pi; the
+    # reference-compat path trains encodings — both must evaluate without
+    # the user restating the training flags.)
+    probe = LocationTask(**kw)
+    in_dim = loc_params["fc_1"]["Dense_0"]["kernel"].shape[0]
+    f = probe.config.num_freq
+    if "input_mode" not in kw and in_dim != f * probe.build_model().num_hiddens:
+        kw["input_mode"] = "quantized" if probe.input_mode == "encodings" else "encodings"
+    out_dim = loc_params["fc_5"]["Dense_0"]["kernel"].shape[-1]
+    if "target_mode" not in kw and out_dim == 2:
+        kw["target_mode"] = "sincos"
+    task = LocationTask(**kw)
     entries = {
         s: {
             "location_params": loc_params,
@@ -38,6 +53,24 @@ def main():
         for s in stages
     }
     results = compare_location_models(entries, eval_data)
+
+    # Beyond-parity: when the store has the joint fine-tuned stage 6, include
+    # it in the comparison (the configuration VALIDATION.md shows beating the
+    # frozen designs by two orders of magnitude).
+    if store.has_stage("location_joint"):
+        from acoustic_locating_vq_vae_tpu.eval import evaluate_joint_location
+        from acoustic_locating_vq_vae_tpu.train import JointLocationTask
+
+        jp = store.load_stage("location_joint")["params"]
+        # infer the trained target mode from the head: fc_5 emits 2 values
+        # for the circular (sin, cos) target, 1 for theta/pi
+        out_dim = jp["head"]["fc_5"]["Dense_0"]["kernel"].shape[-1]
+        kw = task_kwargs(args, config, location=True)
+        kw.pop("input_mode", None)
+        kw.setdefault("target_mode", "sincos" if out_dim == 2 else "normalized_angle")
+        results["location_joint"] = evaluate_joint_location(
+            JointLocationTask(**kw), jp, eval_data
+        )
     print(json.dumps(results, indent=2))
 
 
