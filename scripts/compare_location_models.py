@@ -18,7 +18,10 @@ def main():
     config, mesh, train, val = setup(args)
     eval_data = val if val is not None else train
 
-    from acoustic_locating_vq_vae_tpu.eval import compare_location_models
+    from acoustic_locating_vq_vae_tpu.eval import (
+        compare_location_models,
+        infer_location_modes,
+    )
     from acoustic_locating_vq_vae_tpu.train import LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
@@ -29,20 +32,13 @@ def main():
 
     stages = args.stages or [s for s in ("echoed", "finetune") if store.has_stage(s)]
     kw = task_kwargs(args, config, location=True)
-    # Self-configure from the checkpoint unless flags say otherwise: the
-    # head's fc_1 input width is num_freq * D_rir for quantized features,
-    # num_freq * K for one-hot encodings; fc_5 emits 2 for sincos, 1 for
-    # theta/pi. (The shipped pipeline preset trains quantized/theta-pi; the
-    # reference-compat path trains encodings — both must evaluate without
-    # the user restating the training flags.)
-    probe = LocationTask(**kw)
-    in_dim = loc_params["fc_1"]["Dense_0"]["kernel"].shape[0]
-    f = probe.config.num_freq
-    if "input_mode" not in kw and in_dim != f * probe.build_model().num_hiddens:
-        kw["input_mode"] = "quantized" if probe.input_mode == "encodings" else "encodings"
-    out_dim = loc_params["fc_5"]["Dense_0"]["kernel"].shape[-1]
-    if "target_mode" not in kw and out_dim == 2:
-        kw["target_mode"] = "sincos"
+    # Self-configure from the checkpoint unless flags say otherwise (the
+    # shipped pipeline preset trains quantized/theta-pi; the reference-compat
+    # path trains encodings — both must evaluate without the user restating
+    # the training flags).
+    inferred = infer_location_modes(loc_params, LocationTask(**kw))
+    kw.setdefault("input_mode", inferred["input_mode"])
+    kw.setdefault("target_mode", inferred["target_mode"])
     task = LocationTask(**kw)
     entries = {
         s: {

@@ -1,7 +1,12 @@
 """Evaluation / analysis layer: location comparison (C21 intent), latent
 t-SNE study (C23), audio resynthesis checks (C24)."""
 
-from .compare import compare_location_models, evaluate_joint_location, evaluate_location
+from .compare import (
+    compare_location_models,
+    evaluate_joint_location,
+    evaluate_location,
+    infer_location_modes,
+)
 from .latents import collect_encodings, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
 
@@ -9,6 +14,7 @@ __all__ = [
     "compare_location_models",
     "evaluate_location",
     "evaluate_joint_location",
+    "infer_location_modes",
     "collect_encodings",
     "tsne_rir_embedding",
     "audio_from_complex_spec",

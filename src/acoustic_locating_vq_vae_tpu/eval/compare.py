@@ -15,6 +15,7 @@ wrong tuple unpack, never-invoked test fn): evaluate one or more
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
@@ -25,7 +26,43 @@ from ..data.synth import SampleBatch
 from ..dsp import source_coordinates
 from ..train.tasks import LocationTask
 
-__all__ = ["evaluate_location", "evaluate_joint_location", "compare_location_models"]
+__all__ = [
+    "evaluate_location",
+    "evaluate_joint_location",
+    "compare_location_models",
+    "infer_location_modes",
+]
+
+
+def infer_location_modes(loc_params: Any, task: LocationTask) -> Dict[str, str]:
+    """Infer the (input_mode, target_mode) a location head was trained with
+    from its parameter shapes, given a task carrying the geometry config.
+
+    The head's ``fc_1`` input width is ``num_freq * D_rir`` for quantized
+    features and ``num_freq * K`` for one-hot encodings; ``fc_5`` emits 2
+    values for the circular (sin, cos) target and 1 for theta/pi. Lets
+    evaluation tools self-configure from a checkpoint instead of requiring
+    the user to restate training flags."""
+    in_dim = loc_params["fc_1"]["Dense_0"]["kernel"].shape[0]
+    out_dim = loc_params["fc_5"]["Dense_0"]["kernel"].shape[-1]
+    f = task.config.num_freq
+    per_pos = in_dim // f if f else 0
+    quant_width = dataclasses.replace(task, input_mode="quantized").build_model().num_hiddens
+    enc_width = dataclasses.replace(task, input_mode="encodings").build_model().num_hiddens
+    if per_pos == quant_width and per_pos != enc_width:
+        input_mode = "quantized"
+    elif per_pos == enc_width:
+        input_mode = "encodings"
+    else:
+        raise ValueError(
+            f"location head fc_1 in-width {in_dim} matches neither "
+            f"quantized ({f * quant_width}) nor encodings ({f * enc_width}) "
+            f"features for this config"
+        )
+    return {
+        "input_mode": input_mode,
+        "target_mode": "sincos" if out_dim == 2 else "normalized_angle",
+    }
 
 
 def evaluate_location(

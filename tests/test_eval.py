@@ -96,3 +96,32 @@ def test_write_wav(tmp_path):
     E.write_wav(path, audio, fs=16000)
     fs, back = wavfile.read(path)
     assert fs == 16000 and back.dtype == np.int16 and len(back) == 1600
+
+
+@pytest.mark.parametrize("input_mode", ["encodings", "quantized"])
+@pytest.mark.parametrize("target_mode", ["normalized_angle", "sincos"])
+def test_infer_location_modes(trained, input_mode, target_mode):
+    """Checkpoint self-configuration: the head widths identify the trained
+    (input_mode, target_mode) for every combination, regardless of the
+    probe task's own modes (scripts/compare_location_models.py)."""
+    batch, comp_params, _, _ = trained
+    task = LocationTask(
+        config=SMALL, width_scale=WS, batch_size=8,
+        input_mode=input_mode, target_mode=target_mode,
+    )
+    tr = Trainer(task, composite_params=comp_params, verbose=False)
+    params = tr.init_state(jax.random.PRNGKey(3), batch).params
+    probe = LocationTask(config=SMALL, width_scale=WS)  # default modes
+    assert E.infer_location_modes(params, probe) == {
+        "input_mode": input_mode,
+        "target_mode": target_mode,
+    }
+
+
+def test_infer_location_modes_rejects_foreign_head(trained):
+    batch, comp_params, loc_params, task = trained
+    import dataclasses as dc
+
+    bad_probe = dc.replace(task, config=dc.replace(SMALL, NFFT=16))  # wrong F
+    with pytest.raises(ValueError, match="matches neither"):
+        E.infer_location_modes(loc_params, bad_probe)
