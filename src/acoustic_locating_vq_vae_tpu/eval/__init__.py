@@ -7,7 +7,7 @@ from .compare import (
     evaluate_location,
     infer_location_modes,
 )
-from .latents import collect_encodings, tsne_rir_embedding
+from .latents import collect_encodings, linear_angle_probe, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "evaluate_joint_location",
     "infer_location_modes",
     "collect_encodings",
+    "linear_angle_probe",
     "tsne_rir_embedding",
     "audio_from_complex_spec",
     "audio_from_power_spec",

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..data.synth import SampleBatch
 from ..dsp import znorm
-__all__ = ["collect_encodings", "tsne_rir_embedding"]
+__all__ = ["collect_encodings", "tsne_rir_embedding", "linear_angle_probe"]
 
 
 def collect_encodings(
@@ -53,6 +53,47 @@ def collect_encodings(
         "rir_encodings": np.concatenate(rir_list),
         "speech_encodings": np.concatenate(speech_list),
         "theta": np.asarray(batch.theta).reshape(-1),
+    }
+
+
+def linear_angle_probe(
+    feats_train: np.ndarray,
+    theta_train: np.ndarray,
+    feats_test: np.ndarray,
+    theta_test: np.ndarray,
+    ridge_lambda: float = 10.0,
+) -> Dict[str, float]:
+    """Ridge linear probe features -> (sin theta, cos theta), dual form.
+
+    Quantifies how much source-angle information is LINEARLY decodable from
+    a latent representation — the statistic behind VALIDATION.md's round-2
+    latent study (frozen-pipeline rir encoder: held-out R^2 -0.20; joint
+    fine-tuned: 0.355). Dual (kernel) form keeps high-dimensional features
+    cheap: solves (K + lambda I) alpha = Y with K = X X^T.
+
+    Returns {"r2": held-out R^2 on the (sin, cos) targets,
+             "angle_rmse_radians": wrap-aware RMSE of atan2-decoded angles}.
+    """
+    Xtr = np.asarray(feats_train, dtype=np.float64)
+    Xte = np.asarray(feats_test, dtype=np.float64)
+    ttr = np.asarray(theta_train).reshape(-1)
+    tte = np.asarray(theta_test).reshape(-1)
+    Xtr = Xtr.reshape(Xtr.shape[0], -1)
+    Xte = Xte.reshape(Xte.shape[0], -1)
+    mu = Xtr.mean(axis=0)
+    Xtr = Xtr - mu
+    Xte = Xte - mu
+    Ytr = np.stack([np.sin(ttr), np.cos(ttr)], axis=1)
+    Yte = np.stack([np.sin(tte), np.cos(tte)], axis=1)
+    K = Xtr @ Xtr.T
+    alpha = np.linalg.solve(K + ridge_lambda * np.eye(K.shape[0]), Ytr)
+    pred = (Xte @ Xtr.T) @ alpha
+    ss_res = float(((pred - Yte) ** 2).sum())
+    ss_tot = float(((Yte - Ytr.mean(axis=0)) ** 2).sum())
+    ang_err = np.angle(np.exp(1j * (np.arctan2(pred[:, 0], pred[:, 1]) - tte)))
+    return {
+        "r2": 1.0 - ss_res / ss_tot,
+        "angle_rmse_radians": float(np.sqrt(np.mean(ang_err**2))),
     }
 
 

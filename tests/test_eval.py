@@ -125,3 +125,30 @@ def test_infer_location_modes_rejects_foreign_head(trained):
     bad_probe = dc.replace(task, config=dc.replace(SMALL, NFFT=16))  # wrong F
     with pytest.raises(ValueError, match="matches neither"):
         E.infer_location_modes(loc_params, bad_probe)
+
+
+def test_linear_angle_probe_decodes_planted_signal():
+    """The probe recovers a linearly-planted angle signal (R^2 -> 1, small
+    RMSE) and reports no skill on pure noise (R^2 <= 0)."""
+    rng = np.random.default_rng(0)
+    theta_tr = rng.uniform(-np.pi, np.pi, 400)
+    theta_te = rng.uniform(-np.pi, np.pi, 100)
+
+    def feats(theta, informative):
+        noise = rng.normal(size=(len(theta), 32))
+        if not informative:
+            return noise
+        sig = np.stack([np.sin(theta), np.cos(theta)], 1)
+        return np.concatenate([sig + 0.01 * rng.normal(size=sig.shape), noise], 1)
+
+    m = E.linear_angle_probe(
+        feats(theta_tr, True), theta_tr, feats(theta_te, True), theta_te
+    )
+    assert m["r2"] > 0.9
+    assert m["angle_rmse_radians"] < 0.2
+
+    m0 = E.linear_angle_probe(
+        feats(theta_tr, False), theta_tr, feats(theta_te, False), theta_te
+    )
+    assert m0["r2"] < 0.1
+    assert m0["angle_rmse_radians"] > 1.0
