@@ -12,11 +12,17 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--out", default="tsne_rir.npz")
     p.add_argument("--stage", default=None, help="composite stage (default finetune|echoed)")
+    p.add_argument(
+        "--probe", action="store_true",
+        help="also run the ridge linear probe (eval.linear_angle_probe) on "
+        "the RIR-branch quantized latents — how much angle is LINEARLY "
+        "decodable (the VALIDATION.md round-2 latent-study statistic)",
+    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
     data = val if val is not None else train
 
-    from acoustic_locating_vq_vae_tpu.eval import tsne_rir_embedding
+    from acoustic_locating_vq_vae_tpu.eval import linear_angle_probe, tsne_rir_embedding
     from acoustic_locating_vq_vae_tpu.train import LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
@@ -28,6 +34,27 @@ def main():
     emb, theta = tsne_rir_embedding(task, composite_params, data)
     np.savez(args.out, embedding=emb, theta=theta)
     print(f"t-SNE of {emb.shape[0]} RIR encodings written to {args.out}")
+
+    if args.probe:
+        import dataclasses
+        import jax
+
+        qtask = dataclasses.replace(task, input_mode="quantized")
+        composite = qtask.build_composite()
+        feats = np.asarray(
+            jax.jit(
+                lambda p, b: qtask.encodings_from_composite(composite, p, b)
+            )(composite_params, data)
+        )
+        n = feats.shape[0]
+        split = max(1, int(0.8 * n))
+        m = linear_angle_probe(
+            feats[:split], theta[:split], feats[split:], theta[split:]
+        )
+        print(
+            f"linear angle probe ({stage}, {split}/{n - split} train/test): "
+            f"R^2 {m['r2']:.3f}, angle RMSE {m['angle_rmse_radians']:.3f} rad"
+        )
 
     try:
         import matplotlib
