@@ -141,7 +141,10 @@ def test_encoder_average_pooling_matches_real_reference():
     np.testing.assert_allclose(float(loss), float(tloss), rtol=1e-5)
 
 
-def test_echoed_composite_matches_real_reference():
+def _flax_composite_and_ref(seed=11):
+    """Init our composite (with FULL grafted branch trees — the stage
+    handoff, train_echoed_speech.py:18-19), export its weights into the real
+    reference EchoedSpeechReconModel. Returns (model, variables, ref)."""
     from acoustic_locating_vq_vae.vq_vae.echoed_speech_model import (
         EchoedSpeechReconModel as RefEchoed,
     )
@@ -152,18 +155,15 @@ def test_echoed_composite_matches_real_reference():
         rir_model=rir, speech_model=speech, out_channels=5, num_hiddens=8,
         num_residual_layers=2, num_residual_hiddens=6,
     )
-    x_speech = np.random.default_rng(3).standard_normal((2, 5, L_SPEECH)).astype(np.float32)
-    x_rir = np.random.default_rng(4).standard_normal((2, 10, L_RIR)).astype(np.float32)
     variables = model.init(
-        {"params": jax.random.PRNGKey(11), "jitter": jax.random.PRNGKey(12)},
-        jnp.asarray(x_speech), jnp.asarray(x_rir),
+        {"params": jax.random.PRNGKey(seed), "jitter": jax.random.PRNGKey(seed + 1)},
+        jnp.zeros((1, 5, L_SPEECH), jnp.float32), jnp.zeros((1, 10, L_RIR), jnp.float32),
     )
     # The composite only calls the sub-encoders, so flax creates no params
-    # for the sub-decoders; graft FULL pretrained standalone trees in (the
-    # stage handoff, train_echoed_speech.py:18-19) so the exported state
-    # dict covers every reference key.
-    _, rir_vars, _ = _flax_vqvae_and_ref(RIR_CFG, seed=21)
-    _, speech_vars, _ = _flax_vqvae_and_ref(SPEECH_CFG, seed=22)
+    # for the sub-decoders; graft FULL pretrained standalone trees in so the
+    # exported state dict covers every reference key.
+    _, rir_vars, _ = _flax_vqvae_and_ref(RIR_CFG, seed=seed + 10)
+    _, speech_vars, _ = _flax_vqvae_and_ref(SPEECH_CFG, seed=seed + 11)
     params = dict(variables["params"])
     params["rir_model"] = rir_vars["params"]
     params["speech_model"] = speech_vars["params"]
@@ -183,6 +183,13 @@ def test_echoed_composite_matches_real_reference():
     )
     assert not missing and not unexpected
     ref.eval()
+    return model, variables, ref
+
+
+def test_echoed_composite_matches_real_reference():
+    model, variables, ref = _flax_composite_and_ref(seed=11)
+    x_speech = np.random.default_rng(3).standard_normal((2, 5, L_SPEECH)).astype(np.float32)
+    x_rir = np.random.default_rng(4).standard_normal((2, 10, L_RIR)).astype(np.float32)
 
     recon, sperp, rperp = model.apply(
         variables, jnp.asarray(x_speech), jnp.asarray(x_rir), train=False
@@ -349,3 +356,75 @@ def test_untied_stack_import_detection():
         )
     )
     assert "residual" in tied_back["_encoder"]["residual_stack"]  # tied detected
+
+
+def test_reference_compare_script_runs_unmodified(tmp_path):
+    """BASELINE.json north star: 'checkpoint formats mirror the reference so
+    compare_location_models.py runs unmodified'. Arrange the script's
+    expected filesystem layout entirely from framework-exported artifacts —
+    two whole-module pickles at ../models/ (the reference's inter-stage
+    checkpoint format, train_echoed_speech.py:18-19) and a framework-written
+    val set at ./spec_data/val_set — then execute the ACTUAL
+    /root/reference/scripts/compare_location_models.py as __main__ and
+    require exit 0. (TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD=1 restores the
+    pre-torch-2.6 torch.load default the 2023 script was written against —
+    an environment setting, not a script modification.)"""
+    import subprocess
+    import tempfile
+
+    script = os.path.join(REFERENCE, "scripts", "compare_location_models.py")
+    assert os.path.isfile(script)
+
+    models_dir = tmp_path / "models"
+    run_dir = tmp_path / "run"
+    models_dir.mkdir()
+    run_dir.mkdir()
+
+    # Whole-module pickles from framework-exported weights: the 'original'
+    # composite and the 'encoder-trained' one the script compares.
+    _, _, ref_a = _flax_composite_and_ref(seed=31)
+    _, _, ref_b = _flax_composite_and_ref(seed=41)
+    torch.save(ref_a, models_dir / "model_echoed_speech_6500.pt")
+    torch.save(ref_b, models_dir / "model_echoed_trained_encoders_3000.pt")
+
+    # Framework-written reference-format val set (SpecsDataset layout).
+    rng = np.random.default_rng(7)
+    B, F, T = 2, 7, 510
+    batch = SampleBatch(
+        speech_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        rir_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        echoed_spec=jnp.asarray(rng.standard_normal((B, F, T)).astype(np.float32)),
+        fs=jnp.full((B,), 16000, jnp.int32),
+        theta=jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32)),
+        wiener_est=jnp.asarray(rng.standard_normal((B, F)).astype(np.float32)),
+    )
+    val_dir = run_dir / "spec_data" / "val_set"
+    val_dir.mkdir(parents=True)
+    save_dataset_reference_format(str(val_dir), batch, DatasetConfig(num_frames=500))
+
+    # data_preprocessing.py:4 imports the external rir-generator C++ pip
+    # package at module level (unused by anything the script runs); the
+    # package can't be installed here (zero egress), so provide the module
+    # the way pip would — importable on the path.
+    stub_dir = tmp_path / "stub"
+    stub_dir.mkdir()
+    (stub_dir / "rir_generator.py").write_text(
+        "# stand-in for the rir-generator pip package (not installable here)\n"
+    )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(stub_dir), os.path.join(REFERENCE, "src"), REFERENCE]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    env["TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"  # sitecustomize imports jax; keep it off the tunnel
+    proc = subprocess.run(
+        [sys.executable, script],
+        cwd=run_dir,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
