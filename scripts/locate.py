@@ -1,0 +1,104 @@
+"""Run localization INFERENCE from a trained stage store: echoed spectrogram
+in, source angle + 3-D coordinates out.
+
+The deployment-facing end of the pipeline the reference never shipped (its
+scripts stop at training/metrics). Uses the joint fine-tuned model
+(stage 'location_joint') when the store has one — the best validated
+localizer (VALIDATION.md) — else the frozen 'location' head over the
+composite. Input comes from --data-dir (reference .pt or native .npz
+datasets) or is synthesized on the fly.
+"""
+
+import json
+
+import numpy as np
+
+from _common import base_parser, setup, task_kwargs
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--n", type=int, default=8, help="number of samples to localize")
+    p.add_argument(
+        "--model", choices=["auto", "joint", "frozen"], default="auto",
+        help="which localizer: the joint fine-tuned stage, the frozen "
+        "location head over the composite, or auto (joint when present)",
+    )
+    args = p.parse_args()
+    config, mesh, train, val = setup(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from acoustic_locating_vq_vae_tpu.dsp import source_coordinates
+    from acoustic_locating_vq_vae_tpu.eval import infer_location_modes
+    from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    store = StageStore(args.store_dir)
+    use_joint = args.model == "joint" or (
+        args.model == "auto" and store.has_stage("location_joint")
+    )
+
+    data = val if val is not None else train
+    batch = jax.tree_util.tree_map(lambda a: a[: args.n], data)
+    theta_true = np.asarray(batch.theta).reshape(-1)
+
+    kw = task_kwargs(args, config, location=True)
+    if use_joint:
+        if not store.has_stage("location_joint"):
+            raise SystemExit("no 'location_joint' stage in the store (run train_location.py --joint)")
+        params = store.load_stage("location_joint")["params"]
+        kw.pop("input_mode", None)
+        out_dim = params["head"]["fc_5"]["Dense_0"]["kernel"].shape[-1]
+        kw.setdefault("target_mode", "sincos" if out_dim == 2 else "normalized_angle")
+        task = JointLocationTask(**kw)
+        model = task.build_model()
+        (x_trans,) = task.model_inputs(batch)
+        pred, _, _ = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x_trans)
+    else:
+        if not store.has_stage("location"):
+            raise SystemExit("no 'location' stage in the store (run train_location.py)")
+        params = store.load_stage("location")["params"]
+        stage = "finetune" if store.has_stage("finetune") else "echoed"
+        composite_params = store.load_stage(stage)["params"]
+        inferred = infer_location_modes(params, LocationTask(**kw))
+        kw.setdefault("input_mode", inferred["input_mode"])
+        kw.setdefault("target_mode", inferred["target_mode"])
+        task = LocationTask(**kw)
+        composite = task.build_composite()
+        model = task.build_model()
+
+        @jax.jit
+        def _predict(loc_p, comp_p, b):
+            feats = task.encodings_from_composite(composite, comp_p, b)
+            return model.apply({"params": loc_p}, feats)
+
+        pred = _predict(params, composite_params, batch)
+
+    theta_pred = np.asarray(task.decode_angle(jnp.asarray(pred))).reshape(-1)
+    receiver = jnp.asarray(config.receiver_position)
+    room = jnp.asarray(config.room_dimensions)
+    coords_pred = np.asarray(
+        source_coordinates(jnp.asarray(theta_pred), receiver, room, config.R, config.Z_LOC_SOURCE)
+    )
+    ang_err = np.angle(np.exp(1j * (theta_pred - theta_true)))
+
+    out = {
+        "model": "joint" if use_joint else "frozen",
+        "samples": [
+            {
+                "theta_pred_rad": round(float(tp), 4),
+                "coordinates_m": [round(float(c), 3) for c in cp],
+                "theta_true_rad": round(float(tt), 4),
+                "abs_error_rad": round(float(abs(e)), 4),
+            }
+            for tp, cp, tt, e in zip(theta_pred, coords_pred, theta_true, ang_err)
+        ],
+        "rmse_radians": round(float(np.sqrt(np.mean(ang_err**2))), 4),
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
