@@ -184,6 +184,37 @@ def task_kwargs(args, config, supports_ema: bool = False, supports_seq: bool = F
     return kw
 
 
+def apply_stage_eval_config(
+    kw, store, stage, head_params=None, probe_task=None,
+    keys=("compat_vq_flatten", "input_mode", "target_mode"),
+):
+    """Make the trained checkpoint authoritative for eval-relevant task
+    modes. Stage metadata (Trainer.save_checkpoint) supplies
+    compat_vq_flatten / input_mode / target_mode; for stores predating the
+    metadata, input/target modes fall back to shape inference from the head
+    params (eval.infer_location_modes / infer_target_mode) — the VQ flatten
+    mode is shape-invisible and stays at the flag/default when no metadata
+    exists. Conflicting user flags are reported and overridden: evaluating
+    a head on features it was not trained on yields silent garbage."""
+    from acoustic_locating_vq_vae_tpu.eval import infer_location_modes, infer_target_mode
+
+    meta = store.stage_metadata(stage)
+    auth = {k: meta[k] for k in keys if k in meta}
+    if head_params is not None:
+        if "input_mode" in keys and "input_mode" not in auth and probe_task is not None:
+            auth["input_mode"] = infer_location_modes(head_params, probe_task)["input_mode"]
+        if "target_mode" in keys and "target_mode" not in auth:
+            auth["target_mode"] = infer_target_mode(head_params)
+    for k, v in auth.items():
+        if k in kw and kw[k] != v:
+            print(
+                f"note: {k}={kw[k]!r} conflicts with stage {stage!r} "
+                f"checkpoint ({v!r}); using the checkpoint", flush=True,
+            )
+        kw[k] = v
+    return kw
+
+
 def trainer_kwargs(args):
     return dict(
         log_every=args.log_every,

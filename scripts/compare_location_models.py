@@ -5,7 +5,7 @@ coordinate RMSE."""
 
 import json
 
-from _common import base_parser, setup, task_kwargs
+from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
 
 
 def main():
@@ -18,10 +18,7 @@ def main():
     config, mesh, train, val = setup(args)
     eval_data = val if val is not None else train
 
-    from acoustic_locating_vq_vae_tpu.eval import (
-        compare_location_models,
-        infer_location_modes,
-    )
+    from acoustic_locating_vq_vae_tpu.eval import compare_location_models
     from acoustic_locating_vq_vae_tpu.train import LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
@@ -31,14 +28,14 @@ def main():
     loc_params = store.load_stage("location")["params"]
 
     stages = args.stages or [s for s in ("echoed", "finetune") if store.has_stage(s)]
+    # The checkpoint is authoritative for the trained modes (stage metadata,
+    # with shape inference as the fallback for older stores) — the shipped
+    # pipeline preset trains quantized/theta-pi, the reference-compat path
+    # trains encodings; both must evaluate without restating training flags.
     kw = task_kwargs(args, config, location=True)
-    # Self-configure from the checkpoint unless flags say otherwise (the
-    # shipped pipeline preset trains quantized/theta-pi; the reference-compat
-    # path trains encodings — both must evaluate without the user restating
-    # the training flags).
-    inferred = infer_location_modes(loc_params, LocationTask(**kw))
-    kw.setdefault("input_mode", inferred["input_mode"])
-    kw.setdefault("target_mode", inferred["target_mode"])
+    apply_stage_eval_config(
+        kw, store, "location", head_params=loc_params, probe_task=LocationTask(**kw)
+    )
     task = LocationTask(**kw)
     entries = {
         s: {
@@ -58,14 +55,14 @@ def main():
         from acoustic_locating_vq_vae_tpu.train import JointLocationTask
 
         jp = store.load_stage("location_joint")["params"]
-        # infer the trained target mode from the head: fc_5 emits 2 values
-        # for the circular (sin, cos) target, 1 for theta/pi
-        out_dim = jp["head"]["fc_5"]["Dense_0"]["kernel"].shape[-1]
-        kw = task_kwargs(args, config, location=True)
-        kw.pop("input_mode", None)
-        kw.setdefault("target_mode", "sincos" if out_dim == 2 else "normalized_angle")
+        jkw = task_kwargs(args, config, location=True)
+        jkw.pop("input_mode", None)  # the joint model always uses dense latents
+        apply_stage_eval_config(
+            jkw, store, "location_joint", head_params=jp["head"],
+            keys=("compat_vq_flatten", "target_mode"),
+        )
         results["location_joint"] = evaluate_joint_location(
-            JointLocationTask(**kw), jp, eval_data
+            JointLocationTask(**jkw), jp, eval_data
         )
     print(json.dumps(results, indent=2))
 

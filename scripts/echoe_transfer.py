@@ -5,7 +5,7 @@ PNG when matplotlib is available) instead of blocking on plt.show()."""
 
 import numpy as np
 
-from _common import base_parser, setup, task_kwargs
+from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
 
 
 def main():
@@ -30,7 +30,11 @@ def main():
     stage = args.stage or ("finetune" if store.has_stage("finetune") else "echoed")
     composite_params = store.load_stage(stage)["params"]
 
-    task = LocationTask(**task_kwargs(args, config, location=True))
+    # The VQ flatten mode the composite was trained with (stage metadata)
+    # determines its code assignments; shape inference can't see it.
+    kw = task_kwargs(args, config, location=True)
+    apply_stage_eval_config(kw, store, stage, keys=("compat_vq_flatten",))
+    task = LocationTask(**kw)
     emb, theta = tsne_rir_embedding(task, composite_params, data)
     np.savez(args.out, embedding=emb, theta=theta)
     print(f"t-SNE of {emb.shape[0]} RIR encodings written to {args.out}")
@@ -41,20 +45,27 @@ def main():
 
         qtask = dataclasses.replace(task, input_mode="quantized")
         composite = qtask.build_composite()
-        feats = np.asarray(
-            jax.jit(
-                lambda p, b: qtask.encodings_from_composite(composite, p, b)
-            )(composite_params, data)
+        encode = jax.jit(
+            lambda p, b: qtask.encodings_from_composite(composite, p, b)
         )
-        n = feats.shape[0]
+        n = int(data.speech_spec.shape[0])
+        chunks = []
+        for i in range(0, n, 64):  # chunked like eval/compare.py — the full
+            # set in one dispatch would materialize every activation at once
+            sub = jax.tree_util.tree_map(lambda a: a[i : i + 64], data)
+            chunks.append(np.asarray(encode(composite_params, sub)))
+        feats = np.concatenate(chunks, axis=0)
         split = max(1, int(0.8 * n))
-        m = linear_angle_probe(
-            feats[:split], theta[:split], feats[split:], theta[split:]
-        )
-        print(
-            f"linear angle probe ({stage}, {split}/{n - split} train/test): "
-            f"R^2 {m['r2']:.3f}, angle RMSE {m['angle_rmse_radians']:.3f} rad"
-        )
+        if n - split < 2:
+            print(f"(probe skipped: {n} samples leave no test split)")
+        else:
+            m = linear_angle_probe(
+                feats[:split], theta[:split], feats[split:], theta[split:]
+            )
+            print(
+                f"linear angle probe ({stage}, {split}/{n - split} train/test): "
+                f"R^2 {m['r2']:.3f}, angle RMSE {m['angle_rmse_radians']:.3f} rad"
+            )
 
     try:
         import matplotlib

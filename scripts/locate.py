@@ -13,7 +13,7 @@ import json
 
 import numpy as np
 
-from _common import base_parser, setup, task_kwargs
+from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
 
 
 def main():
@@ -31,7 +31,6 @@ def main():
     import jax.numpy as jnp
 
     from acoustic_locating_vq_vae_tpu.dsp import source_coordinates
-    from acoustic_locating_vq_vae_tpu.eval import infer_location_modes
     from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
@@ -49,9 +48,11 @@ def main():
         if not store.has_stage("location_joint"):
             raise SystemExit("no 'location_joint' stage in the store (run train_location.py --joint)")
         params = store.load_stage("location_joint")["params"]
-        kw.pop("input_mode", None)
-        out_dim = params["head"]["fc_5"]["Dense_0"]["kernel"].shape[-1]
-        kw.setdefault("target_mode", "sincos" if out_dim == 2 else "normalized_angle")
+        kw.pop("input_mode", None)  # the joint model always uses dense latents
+        apply_stage_eval_config(
+            kw, store, "location_joint", head_params=params["head"],
+            keys=("compat_vq_flatten", "target_mode"),
+        )
         task = JointLocationTask(**kw)
         model = task.build_model()
         (x_trans,) = task.model_inputs(batch)
@@ -62,9 +63,9 @@ def main():
         params = store.load_stage("location")["params"]
         stage = "finetune" if store.has_stage("finetune") else "echoed"
         composite_params = store.load_stage(stage)["params"]
-        inferred = infer_location_modes(params, LocationTask(**kw))
-        kw.setdefault("input_mode", inferred["input_mode"])
-        kw.setdefault("target_mode", inferred["target_mode"])
+        apply_stage_eval_config(
+            kw, store, "location", head_params=params, probe_task=LocationTask(**kw)
+        )
         task = LocationTask(**kw)
         composite = task.build_composite()
         model = task.build_model()

@@ -6,6 +6,7 @@ from .compare import (
     evaluate_joint_location,
     evaluate_location,
     infer_location_modes,
+    infer_target_mode,
 )
 from .latents import collect_encodings, linear_angle_probe, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
@@ -15,6 +16,7 @@ __all__ = [
     "evaluate_location",
     "evaluate_joint_location",
     "infer_location_modes",
+    "infer_target_mode",
     "collect_encodings",
     "linear_angle_probe",
     "tsne_rir_embedding",

@@ -31,6 +31,7 @@ __all__ = [
     "evaluate_joint_location",
     "compare_location_models",
     "infer_location_modes",
+    "infer_target_mode",
 ]
 
 
@@ -44,14 +45,12 @@ def infer_location_modes(loc_params: Any, task: LocationTask) -> Dict[str, str]:
     evaluation tools self-configure from a checkpoint instead of requiring
     the user to restate training flags."""
     in_dim = loc_params["fc_1"]["Dense_0"]["kernel"].shape[0]
-    out_dim = loc_params["fc_5"]["Dense_0"]["kernel"].shape[-1]
     f = task.config.num_freq
-    per_pos = in_dim // f if f else 0
     quant_width = dataclasses.replace(task, input_mode="quantized").build_model().num_hiddens
     enc_width = dataclasses.replace(task, input_mode="encodings").build_model().num_hiddens
-    if per_pos == quant_width and per_pos != enc_width:
+    if in_dim == f * quant_width and quant_width != enc_width:
         input_mode = "quantized"
-    elif per_pos == enc_width:
+    elif in_dim == f * enc_width:
         input_mode = "encodings"
     else:
         raise ValueError(
@@ -61,8 +60,16 @@ def infer_location_modes(loc_params: Any, task: LocationTask) -> Dict[str, str]:
         )
     return {
         "input_mode": input_mode,
-        "target_mode": "sincos" if out_dim == 2 else "normalized_angle",
+        "target_mode": infer_target_mode(loc_params),
     }
+
+
+def infer_target_mode(head_params: Any) -> str:
+    """Target mode a location head (frozen MLP or the joint model's
+    ``head`` subtree) was trained with, from its output width: ``fc_5``
+    emits 2 values for the circular (sin, cos) target, 1 for theta/pi."""
+    out_dim = head_params["fc_5"]["Dense_0"]["kernel"].shape[-1]
+    return "sincos" if out_dim == 2 else "normalized_angle"
 
 
 def evaluate_location(

@@ -78,6 +78,11 @@ def linear_angle_probe(
     Xte = np.asarray(feats_test, dtype=np.float64)
     ttr = np.asarray(theta_train).reshape(-1)
     tte = np.asarray(theta_test).reshape(-1)
+    if len(tte) < 2 or len(ttr) < 2:
+        raise ValueError(
+            f"linear_angle_probe needs >=2 train and test samples, got "
+            f"{len(ttr)}/{len(tte)}"
+        )
     Xtr = Xtr.reshape(Xtr.shape[0], -1)
     Xte = Xte.reshape(Xte.shape[0], -1)
     mu = Xtr.mean(axis=0)
@@ -90,6 +95,8 @@ def linear_angle_probe(
     pred = (Xte @ Xtr.T) @ alpha
     ss_res = float(((pred - Yte) ** 2).sum())
     ss_tot = float(((Yte - Ytr.mean(axis=0)) ** 2).sum())
+    if ss_tot == 0.0:
+        raise ValueError("degenerate test split: constant (sin, cos) targets")
     ang_err = np.angle(np.exp(1j * (np.arctan2(pred[:, 0], pred[:, 1]) - tte)))
     return {
         "r2": 1.0 - ss_res / ss_tot,

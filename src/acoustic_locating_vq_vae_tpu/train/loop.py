@@ -508,9 +508,19 @@ class Trainer:
         tree = {"params": state.params, "opt_state": state.opt_state}
         if state.variables:
             tree["variables"] = state.variables
-        self.store.save_stage(
-            tag, tree, step=step, metadata={"task": self.task.name, "final": final}
-        )
+        # Eval-relevant task configuration rides in the manifest so
+        # downstream tools (compare_location_models.py, locate.py) can
+        # self-configure without the user restating training flags. The VQ
+        # flatten mode in particular is shape-invisible: both modes produce
+        # identical param trees but different code assignments.
+        meta: dict = {"task": self.task.name, "final": final}
+        for attr in ("compat_vq_flatten", "input_mode", "target_mode"):
+            if hasattr(self.task, attr):
+                v = getattr(self.task, attr)
+                if attr == "compat_vq_flatten":
+                    v = True if v is None else bool(v)  # model-default resolution
+                meta[attr] = v
+        self.store.save_stage(tag, tree, step=step, metadata=meta)
 
     def load_stage_params(self, name: str):
         return self.store.load_stage(name)["params"]

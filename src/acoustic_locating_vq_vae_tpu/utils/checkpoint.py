@@ -85,5 +85,11 @@ class StageStore:
     def has_stage(self, name: str) -> bool:
         return name in self._manifest()
 
+    def stage_metadata(self, name: str) -> dict:
+        """The metadata dict recorded at save time ({} if absent/unknown) —
+        carries eval-relevant task config (vq flatten / input / target
+        modes) so tools can self-configure from a store."""
+        return self._manifest().get(name, {}).get("metadata", {}) or {}
+
     def stages(self) -> dict:
         return self._manifest()
