@@ -105,6 +105,13 @@ def test_full_pipeline_with_handoff(tmp_path, datasets):
     # stage store has all checkpoints
     store = StageStore(str(tmp_path))
     assert store.has_stage("speech") and store.has_stage("location")
+    # stage metadata records the eval-relevant task config (the VQ flatten
+    # mode is shape-invisible; eval tools self-configure from this)
+    meta = store.stage_metadata("location")
+    assert meta["compat_vq_flatten"] is True  # library default preset: compat
+    assert meta["input_mode"] == "encodings"
+    assert meta["target_mode"] == "normalized_angle"
+    assert store.stage_metadata("speech")["compat_vq_flatten"] is True
 
 
 def test_echoed_graft_uses_pretrained(datasets):
