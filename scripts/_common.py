@@ -200,6 +200,18 @@ def apply_stage_eval_config(
 
     meta = store.stage_metadata(stage)
     auth = {k: meta[k] for k in keys if k in meta}
+    if (
+        "compat_vq_flatten" in keys
+        and "compat_vq_flatten" not in meta
+        and "compat_vq_flatten" not in kw
+    ):
+        print(
+            f"note: stage {stage!r} predates flatten metadata and no "
+            "--vq-flatten flag was given; assuming the task default (compat "
+            "for the frozen stages, vectors for the joint stage) — pass "
+            "--vq-flatten explicitly if the store was trained otherwise",
+            flush=True,
+        )
     if head_params is not None:
         if "input_mode" in keys and "input_mode" not in auth and probe_task is not None:
             auth["input_mode"] = infer_location_modes(head_params, probe_task)["input_mode"]
