@@ -187,6 +187,7 @@ def task_kwargs(args, config, supports_ema: bool = False, supports_seq: bool = F
 def apply_stage_eval_config(
     kw, store, stage, head_params=None, probe_task=None,
     keys=("compat_vq_flatten", "input_mode", "target_mode"),
+    flatten_default="compat",
 ):
     """Make the trained checkpoint authoritative for eval-relevant task
     modes. Stage metadata (Trainer.save_checkpoint) supplies
@@ -207,8 +208,7 @@ def apply_stage_eval_config(
     ):
         print(
             f"note: stage {stage!r} predates flatten metadata and no "
-            "--vq-flatten flag was given; assuming the task default (compat "
-            "for the frozen stages, vectors for the joint stage) — pass "
+            f"--vq-flatten flag was given; assuming {flatten_default} — pass "
             "--vq-flatten explicitly if the store was trained otherwise",
             flush=True,
         )

@@ -51,7 +51,7 @@ def main():
         kw.pop("input_mode", None)  # the joint model always uses dense latents
         apply_stage_eval_config(
             kw, store, "location_joint", head_params=params["head"],
-            keys=("compat_vq_flatten", "target_mode"),
+            keys=("compat_vq_flatten", "target_mode"), flatten_default="vectors",
         )
         task = JointLocationTask(**kw)
         model = task.build_model()

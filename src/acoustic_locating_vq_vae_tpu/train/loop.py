@@ -518,7 +518,12 @@ class Trainer:
             if hasattr(self.task, attr):
                 v = getattr(self.task, attr)
                 if attr == "compat_vq_flatten":
-                    v = True if v is None else bool(v)  # model-default resolution
+                    if v is None:
+                        # Mirror the task's build_model resolution: None means
+                        # compat UNLESS sequence parallelism forced the
+                        # position-local vectors flatten (tasks.py).
+                        v = getattr(self.task, "sequence_axis", None) is None
+                    v = bool(v)
                 meta[attr] = v
         self.store.save_stage(tag, tree, step=step, metadata=meta)
 

@@ -240,12 +240,20 @@ def test_trainer_sequence_parallel_speech_stage():
     SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
     train = D.make_dataset(jax.random.PRNGKey(0), 16, SMALL, batch=16, rir_chunk=2048)
     task = SpeechVQVAETask(config=SMALL, width_scale=1 / 32, batch_size=8, sequence_axis="seq")
-    tr = Trainer(task, mesh=make_mesh(data=2, seq=4), verbose=False)
-    st = tr.init_state(jax.random.PRNGKey(1), train)
-    st, hist = tr.fit(st, train, None, num_updates=30)
-    f = hist.finalize()
-    assert np.isfinite(f["train"]["loss"]).all()
-    assert np.mean(f["train"]["recon_error"][-10:]) < np.mean(f["train"]["recon_error"][:10])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as store_dir:
+        tr = Trainer(task, mesh=make_mesh(data=2, seq=4), verbose=False, checkpoint_dir=store_dir)
+        st = tr.init_state(jax.random.PRNGKey(1), train)
+        st, hist = tr.fit(st, train, None, num_updates=30)
+        f = hist.finalize()
+        assert np.isfinite(f["train"]["loss"]).all()
+        assert np.mean(f["train"]["recon_error"][-10:]) < np.mean(f["train"]["recon_error"][:10])
+        # metadata must record the RESOLVED flatten: sequence parallelism
+        # forces the vectors flatten when compat_vq_flatten is None (auto)
+        from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+        assert StageStore(store_dir).stage_metadata("speech")["compat_vq_flatten"] is False
 
 
 def test_trainer_sequence_parallel_matches_degenerate_seq():
