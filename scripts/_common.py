@@ -42,7 +42,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="conv-stack compute dtype (params/losses/VQ stay f32)",
     )
     p.add_argument("--smoke", action="store_true", help="tiny config for a fast end-to-end check")
-    p.add_argument("--resume", action="store_true", help="resume from the newest periodic checkpoint of this stage")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="crash-safe restart from the store: per-stage scripts restart "
+        "from this stage's newest periodic checkpoint; run_pipeline.py "
+        "additionally skips stages whose final checkpoint already exists",
+    )
     p.add_argument(
         "--on-the-fly", action="store_true",
         help="synthesize a fresh training batch inside every step (infinite data; no training dataset needed)",

@@ -52,6 +52,7 @@ def main():
             None if args.vq_flatten is None else args.vq_flatten == "compat"
         ),
         joint_location=args.joint_location,
+        resume=args.resume,
         **trainer_kwargs(args),
     )
 

@@ -48,7 +48,16 @@ def infer_location_modes(loc_params: Any, task: LocationTask) -> Dict[str, str]:
     f = task.config.num_freq
     quant_width = dataclasses.replace(task, input_mode="quantized").build_model().num_hiddens
     enc_width = dataclasses.replace(task, input_mode="encodings").build_model().num_hiddens
-    if in_dim == f * quant_width and quant_width != enc_width:
+    if quant_width == enc_width and in_dim == f * enc_width:
+        # Degenerate width_scale (both widths floored to the same value):
+        # shape inference cannot distinguish the modes — refuse rather than
+        # silently feed wrong features to eval (ADVICE round 2).
+        raise ValueError(
+            f"location head fc_1 in-width {in_dim} is ambiguous: quantized and "
+            f"encodings features both have width {enc_width} at this "
+            f"width_scale; pass the input mode explicitly (--location-input-mode)"
+        )
+    if in_dim == f * quant_width:
         input_mode = "quantized"
     elif in_dim == f * enc_width:
         input_mode = "encodings"

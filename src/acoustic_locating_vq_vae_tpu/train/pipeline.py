@@ -50,6 +50,7 @@ def run_stage(
     num_updates: Optional[int] = None,
     initial_params: Any = None,
     composite_params: Any = None,
+    resume: bool = False,
     **trainer_kwargs,
 ) -> Tuple[Trainer, TrainState, TrainHistory]:
     trainer = Trainer(
@@ -60,7 +61,9 @@ def run_stage(
     if initial_params is not None:
         seeded = _copy_tree(initial_params)  # step donation must not eat the donor
         state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
-    state, history = trainer.fit(state, train_data, val_data, num_updates=num_updates)
+    state, history = trainer.fit(
+        state, train_data, val_data, num_updates=num_updates, resume=resume
+    )
     return trainer, state, history
 
 
@@ -82,11 +85,21 @@ def run_pipeline(
     location_target_mode: Optional[str] = None,
     compat_vq_flatten: Optional[bool] = None,
     joint_location: bool = False,
+    resume: bool = False,
+    ckpt_every: Optional[int] = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history, variables)}
     (``variables`` carries non-trainable collections, e.g. EMA vq_stats;
     empty dict for param-mode stages).
+
+    ``resume=True`` (requires ``store_dir``) makes the one-command pipeline
+    crash-safe: stages whose FINAL checkpoint exists in the StageStore are
+    skipped (their params reload from the store for the handoff; history is
+    ``None``), and the first incomplete stage restarts from its newest
+    periodic checkpoint via ``Trainer.fit(resume=True)`` — so a crash in
+    stage 5 of a multi-hour run no longer restarts from stage 1 (the
+    reference loses everything but the last pickle, SURVEY.md §5.3).
 
     ``preset="compat"`` (default) is the reference configuration exactly.
     ``preset="fixed"`` is the best VALIDATED configuration (VALIDATION.md):
@@ -120,21 +133,54 @@ def run_pipeline(
         config=config, width_scale=width_scale, vq_backend=vq_backend,
         compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
     )
+    if ckpt_every is not None:
+        kw["ckpt_every"] = ckpt_every
+
+    if resume and not store_dir:
+        raise ValueError("resume=True requires store_dir")
+    from ..utils.checkpoint import StageStore
+
+    store = StageStore(store_dir) if (resume and store_dir) else None
+
+    def _completed(name: str):
+        """(params, variables) reloaded from the stage's FINAL checkpoint,
+        or None if the stage hasn't finished."""
+        if store is None or not store.has_stage(name):
+            return None
+        if not store.stage_metadata(name).get("final"):
+            return None
+        tree = store.load_stage(name)
+        print(f"[pipeline] stage {name!r} complete in store — skipping", flush=True)
+        return tree["params"], tree.get("variables") or {}
 
     keys = jax.random.split(key, 5)
 
     # Stage 1+2: the two VQ-VAEs.
-    _, speech_state, h = run_stage(
-        SpeechVQVAETask(**kw, vq_ema=vq_ema), keys[0], train_data, val_data, store_dir, mesh,
-        num_updates=updates.get("speech"), **trainer_kwargs,
-    )
-    results["speech"] = (speech_state.params, h, speech_state.variables)
+    done = _completed("speech")
+    if done is not None:
+        speech_params, speech_vars = done
+        results["speech"] = (speech_params, None, speech_vars)
+    else:
+        _, speech_state, h = run_stage(
+            SpeechVQVAETask(**kw, vq_ema=vq_ema), keys[0], train_data, val_data,
+            store_dir, mesh, num_updates=updates.get("speech"), resume=resume,
+            **trainer_kwargs,
+        )
+        speech_params, speech_vars = speech_state.params, speech_state.variables
+        results["speech"] = (speech_params, h, speech_vars)
 
-    _, rir_state, h = run_stage(
-        RirVQVAETask(**kw, vq_ema=vq_ema), keys[1], train_data, val_data, store_dir, mesh,
-        num_updates=updates.get("rir"), **trainer_kwargs,
-    )
-    results["rir"] = (rir_state.params, h, rir_state.variables)
+    done = _completed("rir")
+    if done is not None:
+        rir_params, rir_vars = done
+        results["rir"] = (rir_params, None, rir_vars)
+    else:
+        _, rir_state, h = run_stage(
+            RirVQVAETask(**kw, vq_ema=vq_ema), keys[1], train_data, val_data,
+            store_dir, mesh, num_updates=updates.get("rir"), resume=resume,
+            **trainer_kwargs,
+        )
+        rir_params, rir_vars = rir_state.params, rir_state.variables
+        results["rir"] = (rir_params, h, rir_vars)
 
     # Stage 3: composite with grafted pretrained encoders. EMA-trained
     # codebooks live in TrainState.variables["vq_stats"]; graft converts them
@@ -148,40 +194,58 @@ def run_pipeline(
     # nothing opposing it collapses them (measured: speech perplexity -> 1.0
     # and echoed recon stuck at ~0.77 vs ~0.16 unanchored, VALIDATION.md).
     echoed_task = EchoedSpeechTask(**kw)
-    trainer = Trainer(echoed_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
-    state = trainer.init_state(keys[2], train_data)
-    grafted = graft_pretrained(
-        state.params,
-        speech_params=speech_state.params,
-        rir_params=rir_state.params,
-        speech_variables=speech_state.variables if vq_ema else None,
-        rir_variables=rir_state.variables if vq_ema else None,
-    )
-    state = state.replace(params=grafted, opt_state=trainer.optimizer.init(grafted))
-    state, h = trainer.fit(state, train_data, val_data, num_updates=updates.get("echoed"))
-    results["echoed"] = (state.params, h, state.variables)
+    done = _completed("echoed")
+    if done is not None:
+        echoed_params, echoed_vars = done
+        results["echoed"] = (echoed_params, None, echoed_vars)
+    else:
+        trainer = Trainer(echoed_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
+        state = trainer.init_state(keys[2], train_data)
+        grafted = graft_pretrained(
+            state.params,
+            speech_params=speech_params,
+            rir_params=rir_params,
+            speech_variables=speech_vars if vq_ema else None,
+            rir_variables=rir_vars if vq_ema else None,
+        )
+        state = state.replace(params=grafted, opt_state=trainer.optimizer.init(grafted))
+        state, h = trainer.fit(
+            state, train_data, val_data, num_updates=updates.get("echoed"), resume=resume
+        )
+        echoed_params, echoed_vars = state.params, state.variables
+        results["echoed"] = (echoed_params, h, echoed_vars)
 
     # Stage 4: encoder fine-tune continues from the composite.
     ft_task = EncoderFinetuneTask(**kw, commitment_weight=commitment_weight)
-    ft_trainer = Trainer(ft_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
-    ft_state = ft_trainer.init_state(keys[3], train_data)
-    seeded = _copy_tree(state.params)
-    ft_state = ft_state.replace(params=seeded, opt_state=ft_trainer.optimizer.init(seeded))
-    ft_state, h = ft_trainer.fit(
-        ft_state, train_data, val_data, num_updates=updates.get("finetune")
-    )
-    results["finetune"] = (ft_state.params, h, ft_state.variables)
+    done = _completed("finetune")
+    if done is not None:
+        ft_params, ft_vars = done
+        results["finetune"] = (ft_params, None, ft_vars)
+    else:
+        ft_trainer = Trainer(ft_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
+        ft_state = ft_trainer.init_state(keys[3], train_data)
+        seeded = _copy_tree(echoed_params)
+        ft_state = ft_state.replace(params=seeded, opt_state=ft_trainer.optimizer.init(seeded))
+        ft_state, h = ft_trainer.fit(
+            ft_state, train_data, val_data, num_updates=updates.get("finetune"), resume=resume
+        )
+        ft_params, ft_vars = ft_state.params, ft_state.variables
+        results["finetune"] = (ft_params, h, ft_vars)
 
     # Stage 5: location regression over the frozen fine-tuned composite.
     loc_task = LocationTask(
         **kw, input_mode=location_input_mode, target_mode=location_target_mode
     )
-    _, loc_state, h = run_stage(
-        loc_task, keys[4], train_data, val_data, store_dir, mesh,
-        num_updates=updates.get("location"), composite_params=ft_state.params,
-        **trainer_kwargs,
-    )
-    results["location"] = (loc_state.params, h, loc_state.variables)
+    done = _completed("location")
+    if done is not None:
+        results["location"] = (done[0], None, done[1])
+    else:
+        _, loc_state, h = run_stage(
+            loc_task, keys[4], train_data, val_data, store_dir, mesh,
+            num_updates=updates.get("location"), composite_params=ft_params,
+            resume=resume, **trainer_kwargs,
+        )
+        results["location"] = (loc_state.params, h, loc_state.variables)
 
     # Optional stage 6 (beyond parity, ``joint_location=True``): fine-tune
     # the RIR encoder JOINTLY with a fresh location head on the angle loss,
@@ -193,16 +257,22 @@ def run_pipeline(
             config=config, width_scale=width_scale, vq_backend=vq_backend,
             compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
             target_mode=joint_target_mode,
+            **({"ckpt_every": ckpt_every} if ckpt_every is not None else {}),
         )
+        done = _completed("location_joint")
+        if done is not None:
+            results["location_joint"] = (done[0], None, done[1])
+            return results
         # (cache_frozen in trainer_kwargs is ignored: the joint stage trains
         # the encoder, so the task exposes no frozen path to cache)
         trainer = Trainer(joint_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
         key6 = jax.random.fold_in(key, 6)
         j_state = trainer.init_state(key6, train_data if train_data is not None else val_data)
-        seeded = joint_task.seed_params(j_state.params, ft_state.params)
+        seeded = joint_task.seed_params(j_state.params, ft_params)
         j_state = j_state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
         j_state, h = trainer.fit(
-            j_state, train_data, val_data, num_updates=updates.get("location_joint")
+            j_state, train_data, val_data, num_updates=updates.get("location_joint"),
+            resume=resume,
         )
         results["location_joint"] = (j_state.params, h, j_state.variables)
     return results

@@ -337,6 +337,12 @@ class EchoedSpeechTask(Task):
         # (not cached) enter the loss.
         return not self.train_encoder and not self.commitment_weight
 
+    @property
+    def cached_frozen_subtrees(self) -> Tuple[str, ...]:
+        """Param subtrees the cache assumes bit-constant (Trainer verifies
+        these when a caller-supplied optimizer is in play)."""
+        return ("rir_model", "speech_model")
+
     def build_cache(self, model, params, batch: SampleBatch):
         """Per-sample frozen-branch VQ code ids (exact, compact)."""
         x, x_rir = self.model_inputs(batch)
