@@ -91,6 +91,18 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "on-device synthesis (the LibriSpeech role, genereate_dataset.py:93); "
         "default: synthetic source-filter speech",
     )
+    p.add_argument(
+        "--librispeech-dir", default=None,
+        help="root of a LibriSpeech checkout to use as the speech corpus "
+        "(walks <root>/LibriSpeech/<url>/... without torchaudio; .wav via "
+        "scipy, .flac needs the optional soundfile package). Mutually "
+        "exclusive with --wav-dir",
+    )
+    p.add_argument(
+        "--librispeech-url", default="train-clean-100",
+        help="LibriSpeech split name under --librispeech-dir (reference: "
+        "train-clean-100, genereate_dataset.py:93)",
+    )
     return p
 
 
@@ -144,16 +156,30 @@ def setup(args):
     synth_train = not args.data_dir
     synth_val = not args.val_dir and args.val_size > 0
     pool = None
-    if getattr(args, "wav_dir", None):
+    wav_dir = getattr(args, "wav_dir", None)
+    libri_dir = getattr(args, "librispeech_dir", None)
+    if wav_dir and libri_dir:
+        raise SystemExit("--wav-dir and --librispeech-dir are mutually exclusive")
+    if wav_dir or libri_dir:
         if synth_train or synth_val:
-            from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
+            if wav_dir:
+                from acoustic_locating_vq_vae_tpu.data.speech import load_wav_dir
 
-            pool = load_wav_dir(args.wav_dir, config.audio_samples)
-            print(f"speech corpus: {pool.shape[0]} wavs from {args.wav_dir}", flush=True)
+                pool = load_wav_dir(wav_dir, config.audio_samples)
+                src = f"wavs from {wav_dir}"
+            else:
+                from acoustic_locating_vq_vae_tpu.data.speech import load_librispeech
+
+                pool = load_librispeech(
+                    libri_dir, url=args.librispeech_url,
+                    num_samples=config.audio_samples,
+                )
+                src = f"LibriSpeech {args.librispeech_url} utterances from {libri_dir}"
+            print(f"speech corpus: {pool.shape[0]} {src}", flush=True)
         else:
             print(
-                "--wav-dir ignored: both --data-dir and --val-dir are set, "
-                "nothing is synthesized", flush=True,
+                "--wav-dir/--librispeech-dir ignored: both --data-dir and "
+                "--val-dir are set, nothing is synthesized", flush=True,
             )
     if args.data_dir:
         train = ds.load_all()

@@ -8,8 +8,11 @@ torchaudio, so the framework ships three sources:
     speech surrogate (pitch-contoured harmonic voicing + formant-shaped
     noise bursts). Spectrally structured enough to train the VQ-VAEs and to
     benchmark with; NOT real speech — swap in a real corpus for research use.
-  * :func:`load_wav_dir` — reads 16 kHz wavs from a directory (scipy).
-  * :func:`load_librispeech` — uses torchaudio when available (gated).
+  * :func:`load_wav_dir` — reads 16 kHz wavs from a directory (scipy); THE
+    corpus interface the CLI exposes (--wav-dir).
+  * :func:`load_librispeech` — walks a LibriSpeech checkout's on-disk
+    layout without torchaudio (wav via scipy; flac via optional soundfile)
+    and returns the same pool contract as load_wav_dir.
 """
 
 from __future__ import annotations
@@ -109,18 +112,67 @@ def load_wav_dir(path: str, num_samples: int, limit: Optional[int] = None) -> np
     return np.stack(out)
 
 
-def load_librispeech(root: str, url: str = "train-clean-100", num_samples: int = 80000):
-    """LibriSpeech via torchaudio, matching the reference source
-    (genereate_dataset.py:93). Raises ImportError when torchaudio is absent."""
-    import torchaudio  # gated: not installed in this image
+def load_librispeech(
+    root: str,
+    url: str = "train-clean-100",
+    num_samples: int = 80000,
+    limit: Optional[int] = None,
+) -> np.ndarray:
+    """Load a (n, num_samples) float32 speech pool from a LibriSpeech
+    checkout — the reference's corpus source (genereate_dataset.py:93) —
+    WITHOUT torchaudio: walks the standard on-disk layout
 
-    ds = torchaudio.datasets.LIBRISPEECH(root, url=url, download=False)
+        <root>/LibriSpeech/<url>/<speaker>/<chapter>/<spk>-<chp>-<utt>.flac
 
-    def gen():
-        for waveform, sample_rate, *_ in ds:
-            w = waveform.squeeze(0).numpy()
-            if len(w) < num_samples:
-                w = np.pad(w, (0, num_samples - len(w)))
-            yield w[:num_samples].astype(np.float32)
+    (``<root>/<url>/...`` also accepted), decoding ``.flac`` via soundfile
+    when importable and ``.wav`` via scipy always (``flac --decode`` or any
+    converter produces the wav twin of the layout). Utterances are
+    mono-mixed, zero-padded/cropped to ``num_samples``, ordered by path, and
+    returned in the same pool contract as :func:`load_wav_dir` — pass the
+    result as ``speech_pool`` / the per-stage ``--wav-dir`` machinery's
+    input to ``make_dataset``."""
+    candidates = [os.path.join(root, "LibriSpeech", url), os.path.join(root, url)]
+    base = next((c for c in candidates if os.path.isdir(c)), None)
+    if base is None:
+        raise FileNotFoundError(
+            f"no LibriSpeech split {url!r} under {root!r} (tried {candidates})"
+        )
 
-    return gen()
+    files = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(base)):
+        for f in sorted(filenames):
+            if f.lower().endswith((".flac", ".wav")):
+                files.append(os.path.join(dirpath, f))
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"no .flac/.wav utterances under {base}")
+
+    try:
+        import soundfile  # optional: flac decoding
+    except ImportError:
+        soundfile = None
+
+    out = []
+    for path in files:
+        if path.lower().endswith(".wav"):
+            from scipy.io import wavfile
+
+            _, data = wavfile.read(path)
+            if data.dtype.kind == "i":
+                data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        else:
+            if soundfile is None:
+                raise ImportError(
+                    f"decoding {path} needs the optional soundfile package; "
+                    "install it or convert the corpus to wav (flac --decode "
+                    "keeps the directory layout)"
+                )
+            data, _ = soundfile.read(path, dtype="float32")
+        data = np.asarray(data, np.float32)
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        if len(data) < num_samples:
+            data = np.pad(data, (0, num_samples - len(data)))
+        out.append(data[:num_samples])
+    return np.stack(out)

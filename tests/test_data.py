@@ -170,3 +170,84 @@ def test_make_dataset_from_wav_pool(tmp_path):
     # size mismatch is rejected loudly
     with pytest.raises(ValueError):
         D.make_dataset(jax.random.PRNGKey(0), 2, cfg, speech_pool=pool[:, :100])
+
+
+# ---------------------------------------------------------------- librispeech
+
+
+def _fabricate_librispeech(root, url="train-clean-100", n_long=2, fs=16000):
+    """Write a minimal LibriSpeech on-disk layout with scipy-readable wavs."""
+    import os
+
+    from scipy.io import wavfile
+
+    base = os.path.join(str(root), "LibriSpeech", url)
+    rng = np.random.RandomState(0)
+    paths = []
+    for spk, chp in (("19", "198"), ("26", "495")):
+        d = os.path.join(base, spk, chp)
+        os.makedirs(d, exist_ok=True)
+        for utt in range(n_long):
+            w = (rng.randn(4000) * 8000).astype(np.int16)
+            path = os.path.join(d, f"{spk}-{chp}-{utt:04d}.wav")
+            wavfile.write(path, fs, w)
+            paths.append(path)
+    # One SHORT utterance that must be zero-padded.
+    short = os.path.join(base, "19", "198", "19-198-9999.wav")
+    wavfile.write(short, fs, (rng.randn(100) * 8000).astype(np.int16))
+    return base
+
+
+def test_load_librispeech_layout(tmp_path):
+    """Walks the standard <root>/LibriSpeech/<url>/<spk>/<chp>/ layout
+    without torchaudio, pads/crops to num_samples, normalizes int16."""
+    from acoustic_locating_vq_vae_tpu.data.speech import load_librispeech
+
+    _fabricate_librispeech(tmp_path)
+    pool = load_librispeech(str(tmp_path), num_samples=2000)
+    assert pool.shape == (5, 2000) and pool.dtype == np.float32
+    assert np.abs(pool).max() <= 1.0
+    # The short utterance (sorted last in its chapter -> index 2) is padded.
+    assert np.all(pool[2, 100:] == 0.0) and np.any(pool[2, :100] != 0.0)
+    # limit= caps the utterance count.
+    assert load_librispeech(str(tmp_path), num_samples=2000, limit=3).shape[0] == 3
+    # direct <root>/<url> layout (no LibriSpeech/ level) also resolves
+    pool2 = load_librispeech(str(tmp_path / "LibriSpeech"), num_samples=2000)
+    assert pool2.shape == (5, 2000)
+    np.testing.assert_array_equal(pool, pool2)
+
+
+def test_load_librispeech_flac_via_soundfile_stub(tmp_path, monkeypatch):
+    """.flac utterances decode through soundfile when importable; without it
+    the error names the package and the wav conversion escape hatch."""
+    import os
+    import sys
+    import types
+
+    from acoustic_locating_vq_vae_tpu.data.speech import load_librispeech
+
+    d = os.path.join(str(tmp_path), "LibriSpeech", "dev-clean", "84", "121123")
+    os.makedirs(d)
+    flac = os.path.join(d, "84-121123-0000.flac")
+    with open(flac, "wb") as f:
+        f.write(b"fLaC-not-really")
+
+    stub = types.ModuleType("soundfile")
+    stub.read = lambda path, dtype="float32": (
+        np.full(300, 0.25, np.float32), 16000
+    )
+    monkeypatch.setitem(sys.modules, "soundfile", stub)
+    pool = load_librispeech(str(tmp_path), url="dev-clean", num_samples=500)
+    assert pool.shape == (1, 500)
+    assert np.allclose(pool[0, :300], 0.25) and np.all(pool[0, 300:] == 0.0)
+
+    monkeypatch.setitem(sys.modules, "soundfile", None)  # import -> ImportError
+    with pytest.raises(ImportError, match="soundfile"):
+        load_librispeech(str(tmp_path), url="dev-clean", num_samples=500)
+
+
+def test_load_librispeech_missing_split(tmp_path):
+    from acoustic_locating_vq_vae_tpu.data.speech import load_librispeech
+
+    with pytest.raises(FileNotFoundError, match="dev-other"):
+        load_librispeech(str(tmp_path), url="dev-other")
