@@ -32,8 +32,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--sequence-parallel", action="store_true",
         help="shard the time axis over the 'seq' mesh axis (implies the "
-        "fixed channels-last VQ flatten); speech stage only — the rir "
-        "stage's conv length is the short freq axis and rejects it",
+        "fixed channels-last VQ flatten); speech, echoed, and finetune "
+        "stages — the rir stage's conv length is the short freq axis and "
+        "rejects it, as does the joint location stage (its rir-branch "
+        "compute has no long axis)",
     )
     p.add_argument("--model-parallel", action="store_true", help="shard large params over the model axis")
     p.add_argument("--vq-backend", choices=["xla", "pallas"], default="xla")

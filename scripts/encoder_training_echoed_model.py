@@ -22,7 +22,7 @@ def main():
 
     store = StageStore(args.store_dir)
     task = EncoderFinetuneTask(
-        **task_kwargs(args, config), commitment_weight=args.commitment_weight
+        **task_kwargs(args, config, supports_seq=True), commitment_weight=args.commitment_weight
     )
     trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 4), train)

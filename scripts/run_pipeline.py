@@ -53,6 +53,7 @@ def main():
         ),
         joint_location=args.joint_location,
         resume=args.resume,
+        sequence_axis="seq" if args.sequence_parallel else None,
         **trainer_kwargs(args),
     )
 

@@ -16,7 +16,7 @@ def main():
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
     store = StageStore(args.store_dir)
-    task = EchoedSpeechTask(**task_kwargs(args, config))
+    task = EchoedSpeechTask(**task_kwargs(args, config, supports_seq=True))
     trainer = Trainer(task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args))
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 3), train)
 

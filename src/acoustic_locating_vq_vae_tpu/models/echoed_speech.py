@@ -44,8 +44,33 @@ class EchoedSpeechReconModel(nn.Module):
     compat_init: bool = True
     compat_inplace_relu: bool = True
     compute_dtype: object = None
+    # Sequence parallelism (SURVEY.md §5.7) for the composite: name of the
+    # mesh axis sharding the speech TIME dimension when applied inside a
+    # shard_map. The speech branch and the composite decoder run
+    # time-sharded (halo convs; speech_model must be built with the same
+    # sequence_axis); the RIR branch consumes the WHOLE time extent as
+    # channels (echoed_speech_model.py:38 feeds the transposed spectrogram),
+    # so its input is all-gathered over the axis and its (short, length-201)
+    # latent is computed replicated per shard, then sliced into each shard's
+    # window of the zero-padded global time axis by _pad_concat_sharded —
+    # the shard-aware equivalent of the reference's right-pad+concat
+    # (echoed_speech_model.py:41-49).
+    sequence_axis: object = None
 
     def setup(self):
+        if self.sequence_axis is not None:
+            if getattr(self.speech_model, "sequence_axis", None) != self.sequence_axis:
+                raise ValueError(
+                    "EchoedSpeechReconModel(sequence_axis=...) requires the "
+                    "speech_model to be built with the same sequence_axis "
+                    "(its time axis is the sharded one)"
+                )
+            if getattr(self.rir_model, "sequence_axis", None) is not None:
+                raise ValueError(
+                    "the composite's rir_model must NOT set sequence_axis: its "
+                    "conv length is the short freq axis; the composite gathers "
+                    "its input and runs it replicated per shard"
+                )
         self._decoder = DeconvolutionalDecoder(
             out_channels=self.out_channels,
             num_hiddens=self.num_hiddens,
@@ -57,6 +82,7 @@ class EchoedSpeechReconModel(nn.Module):
             compat_init=self.compat_init,
             compat_inplace_relu=self.compat_inplace_relu,
             dtype=self.compute_dtype,
+            sequence_axis=self.sequence_axis,
         )
 
     def __call__(
@@ -74,6 +100,15 @@ class EchoedSpeechReconModel(nn.Module):
         appended (their commitment terms are differentiable w.r.t. the
         encoders, the anchor the reference's phase-2 recon-only loss lacks —
         see VALIDATION.md on codebook collapse)."""
+        if self.sequence_axis is not None:
+            # Time-sharded mode: spec_in_rir arrives as this shard's
+            # (B, T_local, F) slice; the RIR branch's in_channels are the
+            # FULL time extent, so gather the slices over the axis (one
+            # all-gather of the input spectrogram per step over ICI; its
+            # autodiff transpose reduce-scatters the gradient back).
+            spec_in_rir = jax.lax.all_gather(
+                spec_in_rir, self.sequence_axis, axis=1, tiled=True
+            )
         rir_vq_loss, rir_q, rir_perp, _ = self.rir_model.get_latent_representation(
             spec_in_rir, train_vq=False, need_encodings=False
         )  # (B, D_rir, L_rir)
@@ -81,7 +116,10 @@ class EchoedSpeechReconModel(nn.Module):
             spec_in, train_vq=False, need_encodings=False
         )  # (B, D_speech, L_speech)
 
-        quantized = self._pad_concat(speech_q, rir_q)
+        if self.sequence_axis is not None:
+            quantized = self._pad_concat_sharded(speech_q, rir_q)
+        else:
+            quantized = self._pad_concat(speech_q, rir_q)
         if not train_encoder:
             quantized = jax.lax.stop_gradient(quantized)  # :51-54
 
@@ -102,6 +140,28 @@ class EchoedSpeechReconModel(nn.Module):
         elif size_diff < 0:
             speech_q = jnp.pad(speech_q, ((0, 0), (0, 0), (0, -size_diff)))
         return jnp.concatenate([speech_q, rir_q], axis=1)  # (B, D_s+D_r, L)
+
+    def _pad_concat_sharded(self, speech_q: jnp.ndarray, rir_q: jnp.ndarray) -> jnp.ndarray:
+        """Shard-aware _pad_concat: ``speech_q`` is this shard's
+        (B, D_s, L_local) window of the time axis; ``rir_q`` is the full
+        replicated (B, D_r, L_rir) latent. Globally the reference right-pads
+        the RIR latent to the speech length and concatenates on channels
+        (echoed_speech_model.py:41-49); shard i of that global result is
+        ``padded_rir[:, :, i*L_local:(i+1)*L_local]`` — a dynamic slice of
+        the zero-padded latent, no cross-shard traffic."""
+        n = jax.lax.axis_size(self.sequence_axis)
+        idx = jax.lax.axis_index(self.sequence_axis)
+        l_local = speech_q.shape[2]
+        t_global = n * l_local
+        if rir_q.shape[2] > t_global:
+            raise ValueError(
+                f"RIR latent length {rir_q.shape[2]} exceeds the global speech "
+                f"latent length {t_global}; the sharded composite only "
+                "supports the reference geometry (rir shorter than speech)"
+            )
+        rir_pad = jnp.pad(rir_q, ((0, 0), (0, 0), (0, t_global - rir_q.shape[2])))
+        local = jax.lax.dynamic_slice_in_dim(rir_pad, idx * l_local, l_local, axis=2)
+        return jnp.concatenate([speech_q, local], axis=1)  # (B, D_s+D_r, L_local)
 
     def encode_codes(self, spec_in: jnp.ndarray, spec_in_rir: jnp.ndarray):
         """Frozen-branch VQ code ids — the frozen-latent cache entries. With

@@ -87,6 +87,7 @@ def run_pipeline(
     joint_location: bool = False,
     resume: bool = False,
     ckpt_every: Optional[int] = None,
+    sequence_axis: object = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history, variables)}
@@ -135,6 +136,12 @@ def run_pipeline(
     )
     if ckpt_every is not None:
         kw["ckpt_every"] = ckpt_every
+    # Sequence parallelism applies to the stages with a long (time) conv
+    # axis: speech, echoed, finetune. The rir stage rejects it (short freq
+    # axis) and the location stages have no time axis in their compute.
+    # Requires the vectors VQ flatten (preset "fixed" or compat_vq_flatten
+    # False) — an explicit compat request raises in the model.
+    seq_kw = {"sequence_axis": sequence_axis} if sequence_axis is not None else {}
 
     if resume and not store_dir:
         raise ValueError("resume=True requires store_dir")
@@ -162,7 +169,7 @@ def run_pipeline(
         results["speech"] = (speech_params, None, speech_vars)
     else:
         _, speech_state, h = run_stage(
-            SpeechVQVAETask(**kw, vq_ema=vq_ema), keys[0], train_data, val_data,
+            SpeechVQVAETask(**kw, vq_ema=vq_ema, **seq_kw), keys[0], train_data, val_data,
             store_dir, mesh, num_updates=updates.get("speech"), resume=resume,
             **trainer_kwargs,
         )
@@ -193,7 +200,7 @@ def run_pipeline(
     # gradient reaching the branch encoders — pure commitment pull with
     # nothing opposing it collapses them (measured: speech perplexity -> 1.0
     # and echoed recon stuck at ~0.77 vs ~0.16 unanchored, VALIDATION.md).
-    echoed_task = EchoedSpeechTask(**kw)
+    echoed_task = EchoedSpeechTask(**kw, **seq_kw)
     done = _completed("echoed")
     if done is not None:
         echoed_params, echoed_vars = done
@@ -216,7 +223,7 @@ def run_pipeline(
         results["echoed"] = (echoed_params, h, echoed_vars)
 
     # Stage 4: encoder fine-tune continues from the composite.
-    ft_task = EncoderFinetuneTask(**kw, commitment_weight=commitment_weight)
+    ft_task = EncoderFinetuneTask(**kw, commitment_weight=commitment_weight, **seq_kw)
     done = _completed("finetune")
     if done is not None:
         ft_params, ft_vars = done

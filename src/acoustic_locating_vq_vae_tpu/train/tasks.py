@@ -242,8 +242,15 @@ class RirVQVAETask(Task):
 def _echoed_model(
     config: DatasetConfig, width_scale: float, vq_backend: str,
     compute_dtype: str = "float32", compat_vq_flatten: Optional[bool] = None,
+    sequence_axis: object = None,
 ):
-    compat_vq_flatten = True if compat_vq_flatten is None else compat_vq_flatten
+    # None (auto) resolves like SpeechVQVAETask: compat unless sequence
+    # parallelism forces the position-local vectors flatten (explicit True +
+    # sequence_axis raises in the speech model's setup, never overridden
+    # silently). One flag governs BOTH branches so the stage-1/2 handoff
+    # codebooks keep matching code semantics.
+    if compat_vq_flatten is None:
+        compat_vq_flatten = sequence_axis is None
     s = lambda v: _scale(v, width_scale)
     dt = _dtype(compute_dtype)
     rir_model = ConvolutionalVQVAE(
@@ -257,6 +264,7 @@ def _echoed_model(
         num_residual_layers=3, num_residual_hiddens=s(1024), commitment_cost=0.25,
         num_embeddings=s(1024), use_jitter=True, vq_backend=vq_backend,
         compute_dtype=dt, compat_vq_flatten=compat_vq_flatten,
+        sequence_axis=sequence_axis,
     )
     # Composite decoder config: train_echoed_speech.py:23-27 (H=1024, 2 res
     # layers, res-H=1024, jitter on; out_channels = spectrogram freq bins).
@@ -269,6 +277,7 @@ def _echoed_model(
         num_residual_hiddens=s(1024),
         use_jitter=True,
         compute_dtype=dt,
+        sequence_axis=sequence_axis,
     )
 
 
@@ -296,11 +305,18 @@ class EchoedSpeechTask(Task):
     # (measured: speech perplexity -> 1.0, VALIDATION.md round 2).
     commitment_weight: float = 0.0
     compat_vq_flatten: Optional[bool] = None
+    # Mesh axis sharding the speech TIME dimension (SURVEY.md §5.7): the
+    # speech branch and composite decoder run time-sharded (halo convs); the
+    # RIR branch all-gathers its transposed input and computes its short
+    # latent replicated per shard (see EchoedSpeechReconModel.sequence_axis).
+    # Implies the vectors VQ flatten, like SpeechVQVAETask.
+    sequence_axis: object = None
 
     def build_model(self) -> EchoedSpeechReconModel:
         return _echoed_model(
             self.config, self.width_scale, self.vq_backend, self.compute_dtype,
             compat_vq_flatten=self.compat_vq_flatten,
+            sequence_axis=self.sequence_axis,
         )
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
@@ -561,8 +577,22 @@ class JointLocationTask(Task):
     target_mode: str = "sincos"
     output_dim: int = 1
     commitment_weight: float = 0.25
+    # Interface symmetry with the other stages but REJECTED (mirrors
+    # RirVQVAETask): this task's model IS the rir branch + MLP head — the
+    # spectrogram's time axis enters as the first conv's CHANNELS and the
+    # conv length is the short 201-bin freq axis, so there is no long
+    # sequence dimension to shard. Sharding the channel contraction would be
+    # tensor (model) parallelism, which the 'model' mesh axis already covers.
+    sequence_axis: object = None
 
     def build_model(self) -> JointLocationModel:
+        if self.sequence_axis is not None:
+            raise ValueError(
+                "JointLocationTask does not support sequence parallelism: its "
+                "compute is the rir branch (time-as-channels, conv length = "
+                "the short freq axis); use sequence parallelism on the "
+                "speech/echoed/finetune stages"
+            )
         s = lambda v: _scale(v, self.width_scale)
         rir_model = ConvolutionalVQVAE(
             in_channels=self.config.num_frames, num_hiddens=s(1024), embedding_dim=s(64),

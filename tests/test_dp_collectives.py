@@ -82,3 +82,54 @@ def test_cross_shard_fallback_warns():
         warnings.simplefilter("always")
         tr_ok._step_fn.lower(st_ok, sharded, 16, True)
     assert not any("cross-shard gather" in str(w.message) for w in caught)
+
+
+# --------------------------------------------------- model-parallel numerics
+
+def test_model_parallel_step_matches_replicated():
+    """One training step on (data=4, model=2) with model_parallel=True
+    reproduces the (data=8) replicated step's loss and metrics from
+    identical init/rng — a wrong model-axis sharding rule producing a
+    plausible loss would pass a run-only check (round-2 VERDICT item 5)."""
+    train = D.make_dataset(jax.random.PRNGKey(7), 16, SMALL, batch=16, rir_chunk=2048)
+    # width 0.5 keeps H/K divisible by the model axis. batch == dataset size
+    # so both meshes consume the SAME 16 rows (the stratified sampler's
+    # per-shard permutation differs with the data-axis size, but the batch
+    # SET — and every loss/metric, which are row-order invariant — does not).
+    task = SpeechVQVAETask(config=SMALL, width_scale=0.5, batch_size=16)
+
+    def step_metrics(mesh, mp):
+        tr = Trainer(task, mesh=mesh, model_parallel=mp, verbose=False)
+        st = tr.init_state(jax.random.PRNGKey(8), train)
+        data = jax.device_put(train, batch_sharding(mesh))
+        _, m = tr._step_fn(st, data, 16, True)
+        return {k: float(v) for k, v in m.items()}
+
+    m_tp = step_metrics(make_mesh(data=4, model=2), True)
+    m_dp = step_metrics(make_mesh(data=8), False)
+    assert set(m_tp) == set(m_dp)
+    for k in m_tp:
+        np.testing.assert_allclose(m_tp[k], m_dp[k], rtol=2e-4, err_msg=k)
+
+
+def test_model_axis_collectives_present():
+    """The compiled (data=4, model=2) step must contain collectives over the
+    MODEL axis (pair replica groups {0,1}{2,3}... on the (4,2) device grid):
+    the row-sharded codebook and column/row-parallel conv pairs imply
+    model-axis reductions; the data axis keeps its grad/stat allreduce."""
+    train = D.make_dataset(jax.random.PRNGKey(9), 16, SMALL, batch=16, rir_chunk=2048)
+    task = SpeechVQVAETask(config=SMALL, width_scale=0.5, batch_size=8)
+    mesh = make_mesh(data=4, model=2)
+    tr = Trainer(task, mesh=mesh, model_parallel=True, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(10), train)
+    data = jax.device_put(train, batch_sharding(mesh))
+    txt = tr._step_fn.lower(st, data, 16, True).compile().as_text()
+
+    # XLA emits iota replica groups on the (data=4, model=2) device grid:
+    #   model axis (minor, consecutive pairs {0,1}{2,3}...) -> [4,2]<=[8]
+    #   data axis (strided columns {0,2,4,6}{1,3,5,7}) -> [2,4]<=[4,2]T(1,0)
+    # (legacy explicit-list spellings accepted as fallback).
+    n_model = txt.count("replica_groups=[4,2]<=[8]") + txt.count("{{0,1},{2,3},{4,5},{6,7}}")
+    n_data = txt.count("replica_groups=[2,4]<=[4,2]T(1,0)") + txt.count("{{0,2,4,6},{1,3,5,7}}")
+    assert n_model >= 1, f"no model-axis collectives in the tp step (data-axis: {n_data})"
+    assert n_data >= 1, f"no data-axis collectives in the tp step (model-axis: {n_model})"
