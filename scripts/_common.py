@@ -94,6 +94,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "default: synthetic source-filter speech",
     )
     p.add_argument(
+        "--rt60-range", type=float, nargs=2, default=None, metavar=("LO", "HI"),
+        help="per-sample reverberation-time domain randomization: T60 ~ "
+        "U(LO, HI) in synthesized data (resident and --on-the-fly) instead "
+        "of the config's fixed value (reference pins T60=0.4, "
+        "genereate_dataset.py:60)",
+    )
+    p.add_argument(
         "--librispeech-dir", default=None,
         help="root of a LibriSpeech checkout to use as the speech corpus "
         "(walks <root>/LibriSpeech/<url>/... without torchaudio; .wav via "
@@ -183,14 +190,17 @@ def setup(args):
                 "--wav-dir/--librispeech-dir ignored: both --data-dir and "
                 "--val-dir are set, nothing is synthesized", flush=True,
             )
+    synth_kw = {}
+    if getattr(args, "rt60_range", None):
+        synth_kw["rt60_range"] = tuple(args.rt60_range)
     if args.data_dir:
         train = ds.load_all()
     else:
-        train = D.make_dataset(k_train, args.dataset_size, config, speech_pool=pool)
+        train = D.make_dataset(k_train, args.dataset_size, config, speech_pool=pool, **synth_kw)
     if args.val_dir:
         val = D.SpecsDataset(args.val_dir).load_all()
     elif args.val_size > 0:
-        val = D.make_dataset(k_val, args.val_size, config, speech_pool=pool)
+        val = D.make_dataset(k_val, args.val_size, config, speech_pool=pool, **synth_kw)
     else:
         val = None
     return config, mesh, train, val
@@ -261,10 +271,13 @@ def apply_stage_eval_config(
 
 
 def trainer_kwargs(args):
-    return dict(
+    kw = dict(
         log_every=args.log_every,
         model_parallel=args.model_parallel,
         on_the_fly=getattr(args, "on_the_fly", False),
         profile_dir=getattr(args, "profile_dir", None),
         cache_frozen=getattr(args, "cache_frozen", False),
     )
+    if getattr(args, "rt60_range", None):
+        kw["synth_kwargs"] = {"rt60_range": tuple(args.rt60_range)}
+    return kw

@@ -57,7 +57,9 @@ class SampleBatch(struct.PyTreeNode):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "batch", "fixed_rir", "fixed_speech", "rir_chunk"),
+    static_argnames=(
+        "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk", "rt60_range"
+    ),
 )
 def synthesize_batch(
     key: jax.Array,
@@ -67,6 +69,7 @@ def synthesize_batch(
     fixed_rir: bool = False,
     fixed_speech: bool = False,
     rir_chunk: int = 8192,
+    rt60_range: Optional[tuple] = None,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -75,8 +78,15 @@ def synthesize_batch(
     ``fixed_speech`` reproduce the reference's ablation modes
     (genereate_dataset.py:12-16,32-35): every sample shares one RIR / one
     utterance.
+
+    ``rt60_range``: optional (lo, hi) tuple — per-sample reverberation time
+    T60 ~ U(lo, hi) instead of the config's fixed value (domain
+    randomization; the reference's generator pins T60=0.4,
+    genereate_dataset.py:60). The Sabine beta is traced per sample
+    (dsp.rir.beta_from_rt60_traced), so the whole randomized batch stays one
+    compiled program.
     """
-    k_theta, k_speech = jax.random.split(key)
+    k_theta, k_speech, k_rt60 = jax.random.split(key, 3)
 
     theta = jax.random.uniform(k_theta, (batch,), minval=-jnp.pi, maxval=jnp.pi)
     if fixed_rir:
@@ -91,20 +101,37 @@ def synthesize_batch(
     if fixed_speech:
         speech = jnp.broadcast_to(speech[:1], speech.shape)
 
-    rir_fn = functools.partial(
-        generate_rir,
+    rir_kw = dict(
         receiver=receiver,
         room=tuple(config.room_dimensions),
         nsample=config.n_sample,
         fs=float(config.fs),
         c=config.c,
-        rt60=config.reverberation_time,
         chunk=rir_chunk,
     )
-    if fixed_rir:
-        h = jnp.broadcast_to(rir_fn(src[0])[None], (batch, config.n_sample))
+    if rt60_range is not None:
+        lo, hi = float(rt60_range[0]), float(rt60_range[1])
+        rt60 = jax.random.uniform(k_rt60, (batch,), minval=lo, maxval=hi)
+        if fixed_rir:
+            rt60 = jnp.broadcast_to(rt60[:1], rt60.shape)
+        from ..dsp.rir import beta_from_rt60_traced
+
+        betas = beta_from_rt60_traced(rir_kw["room"], rt60, config.c)
+        rir_fn = functools.partial(generate_rir, **rir_kw)
+        if fixed_rir:
+            h = jnp.broadcast_to(
+                rir_fn(src[0], beta_traced=betas[0])[None], (batch, config.n_sample)
+            )
+        else:
+            h = jax.vmap(lambda s, b: rir_fn(s, beta_traced=b))(src, betas)
     else:
-        h = jax.vmap(rir_fn)(src)
+        rir_fn = functools.partial(
+            generate_rir, rt60=config.reverberation_time, **rir_kw
+        )
+        if fixed_rir:
+            h = jnp.broadcast_to(rir_fn(src[0])[None], (batch, config.n_sample))
+        else:
+            h = jax.vmap(rir_fn)(src)
 
     echoed = fft_convolve(speech, h, mode="same")
 

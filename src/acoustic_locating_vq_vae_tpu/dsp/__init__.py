@@ -2,7 +2,7 @@
 and spectrogram feature math — all pure jittable JAX/XLA ops."""
 
 from .filters import fft_convolve, highpass_habets
-from .rir import beta_from_rt60, generate_rir, generate_rir_batch
+from .rir import beta_from_rt60, beta_from_rt60_traced, generate_rir, generate_rir_batch
 from .specs import rir_spec_ratio, source_coordinates, wiener_estimate, znorm
 from .stft import (
     griffin_lim,
@@ -18,6 +18,7 @@ __all__ = [
     "fft_convolve",
     "highpass_habets",
     "beta_from_rt60",
+    "beta_from_rt60_traced",
     "generate_rir",
     "generate_rir_batch",
     "rir_spec_ratio",

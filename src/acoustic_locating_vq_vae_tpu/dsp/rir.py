@@ -45,7 +45,12 @@ import numpy as np
 
 from .filters import highpass_habets
 
-__all__ = ["beta_from_rt60", "generate_rir", "generate_rir_batch"]
+__all__ = [
+    "beta_from_rt60",
+    "beta_from_rt60_traced",
+    "generate_rir",
+    "generate_rir_batch",
+]
 
 
 def beta_from_rt60(room: Sequence[float], rt60: float, c: float = 340.0) -> float:
@@ -59,6 +64,19 @@ def beta_from_rt60(room: Sequence[float], rt60: float, c: float = 340.0) -> floa
             f"T60={rt60} is too small for room {room!r} (Sabine absorption {alpha:.3f} > 1)"
         )
     return math.sqrt(1.0 - alpha)
+
+
+def beta_from_rt60_traced(room: Sequence[float], rt60: jax.Array, c: float = 340.0) -> jax.Array:
+    """Traced Sabine beta: like :func:`beta_from_rt60` but ``rt60`` is a jax
+    array (per-sample domain randomization inside jit — round-3 item). Out of
+    Sabine validity (absorption > 1) the value is clamped to 0 instead of
+    raising (data-dependent errors cannot be raised under jit); callers
+    should keep their T60 range physically valid for the room."""
+    lx, ly, lz = float(room[0]), float(room[1]), float(room[2])
+    volume = lx * ly * lz
+    surface = 2.0 * (lx * ly + lx * lz + ly * lz)
+    alpha = 24.0 * volume * math.log(10.0) / (c * surface * jnp.asarray(rt60, jnp.float32))
+    return jnp.sqrt(jnp.maximum(1.0 - alpha, 0.0))
 
 
 def _image_grid(room: Sequence[float], nsample: int, fs: float, c: float):
@@ -90,6 +108,7 @@ def generate_rir(
     c: float = 340.0,
     rt60: Optional[float] = None,
     beta: Optional[tuple] = None,
+    beta_traced: Optional[jax.Array] = None,
     order: int = -1,
     tw: Optional[int] = None,
     hp: bool = True,
@@ -101,17 +120,31 @@ def generate_rir(
 
     Drop-in semantics of ``rir.generate(c, fs, r, s, L, reverberation_time,
     nsample)`` (genereate_dataset.py:21-29) with omnidirectional microphone.
+
+    ``beta_traced``: TRACED scalar or (6,) reflection coefficient(s)
+    overriding the static ``rt60``/``beta`` — the image grid depends only on
+    the (static) room, so per-sample reverberation can vary inside one jitted
+    program (domain randomization; use :func:`beta_from_rt60_traced` to map a
+    traced T60 to beta).
     """
-    if (rt60 is None) == (beta is None):
-        raise ValueError("specify exactly one of rt60 / beta")
-    if beta is None:
-        beta_vals = (beta_from_rt60(room, rt60, c),) * 6
-    elif isinstance(beta, (int, float)):
-        beta_vals = (float(beta),) * 6
+    if beta_traced is not None:
+        if rt60 is not None or beta is not None:
+            raise ValueError("beta_traced excludes the static rt60 / beta")
+        bt = jnp.asarray(beta_traced, jnp.float32)
+        beta_vals = jnp.broadcast_to(bt, (6,)) if bt.ndim <= 1 else None
+        if beta_vals is None or bt.shape not in ((), (6,)):
+            raise ValueError(f"beta_traced must be scalar or (6,), got {bt.shape}")
     else:
-        beta_vals = tuple(float(b) for b in beta)
-        if len(beta_vals) != 6:
-            raise ValueError("beta must be scalar or length-6")
+        if (rt60 is None) == (beta is None):
+            raise ValueError("specify exactly one of rt60 / beta / beta_traced")
+        if beta is None:
+            beta_vals = (beta_from_rt60(room, rt60, c),) * 6
+        elif isinstance(beta, (int, float)):
+            beta_vals = (float(beta),) * 6
+        else:
+            beta_vals = tuple(float(b) for b in beta)
+            if len(beta_vals) != 6:
+                raise ValueError("beta must be scalar or length-6")
 
     if tw is None:
         tw = 2 * int(round(0.004 * fs))  # 8 ms FIR, 128 taps at 16 kHz
@@ -245,7 +278,25 @@ def generate_rir(
     return imp
 
 
-def generate_rir_batch(sources: jax.Array, receiver: jax.Array, **kwargs) -> jax.Array:
-    """vmap of :func:`generate_rir` over a (B, 3) batch of source positions."""
+def generate_rir_batch(
+    sources: jax.Array,
+    receiver: jax.Array,
+    rt60_traced: Optional[jax.Array] = None,
+    **kwargs,
+) -> jax.Array:
+    """vmap of :func:`generate_rir` over a (B, 3) batch of source positions.
+
+    ``rt60_traced``: optional (B,) per-sample reverberation times (traced) —
+    each source gets its own Sabine beta inside the one compiled program
+    (domain randomization). Excludes the static ``rt60``/``beta`` kwargs.
+    """
+    if rt60_traced is not None:
+        if "rt60" in kwargs or "beta" in kwargs or "beta_traced" in kwargs:
+            raise ValueError("rt60_traced excludes the static rt60 / beta kwargs")
+        room = kwargs["room"]
+        c = kwargs.get("c", 340.0)
+        betas = beta_from_rt60_traced(room, rt60_traced, c)  # (B,)
+        fn = functools.partial(generate_rir, receiver=receiver, **kwargs)
+        return jax.vmap(lambda s, b: fn(s, beta_traced=b))(sources, betas)
     fn = functools.partial(generate_rir, receiver=receiver, **kwargs)
     return jax.vmap(fn)(sources)

@@ -44,6 +44,21 @@ def load_pytree(path: str, template: Optional[Any] = None) -> Any:
     logger.setLevel(logging.ERROR)
     try:
         return ckptr.restore(path)
+    except ValueError:
+        # Cross-topology restore: the checkpoint was saved on a different
+        # device mesh (e.g. an 8-device training run read back on the single
+        # eval chip). Rebuild abstract targets from the checkpoint's own
+        # metadata, placed on the default device — stage handoff params are
+        # replicated trees, so single-device placement is always valid.
+        from jax.sharding import SingleDeviceSharding
+
+        meta = ckptr.metadata(path).item_metadata
+        dev = jax.devices()[0]
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=SingleDeviceSharding(dev)),
+            meta,
+        )
+        return ckptr.restore(path, abstract)
     finally:
         logger.setLevel(prev)
 

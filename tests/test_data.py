@@ -251,3 +251,33 @@ def test_load_librispeech_missing_split(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="dev-other"):
         load_librispeech(str(tmp_path), url="dev-other")
+
+
+# ---------------------------------------------------- rt60 domain randomization
+
+
+def test_synthesize_batch_rt60_range():
+    """Per-sample T60 ~ U(lo, hi) inside the one jitted program: a degenerate
+    range reproduces the fixed-config batch (same angles/speech; the traced
+    Sabine beta matches the static one to f32), and a wide range still yields
+    finite spectra."""
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    key = jax.random.PRNGKey(42)
+    fixed = D.synthesize_batch(key, 4, cfg, rir_chunk=2048)
+    degen = D.synthesize_batch(key, 4, cfg, rir_chunk=2048, rt60_range=(0.4, 0.4))
+    np.testing.assert_array_equal(np.asarray(fixed.theta), np.asarray(degen.theta))
+    np.testing.assert_array_equal(
+        np.asarray(fixed.speech_spec), np.asarray(degen.speech_spec)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fixed.echoed_spec), np.asarray(degen.echoed_spec),
+        rtol=5e-2, atol=1e-4,
+    )
+
+    wide = D.synthesize_batch(key, 4, cfg, rir_chunk=2048, rt60_range=(0.2, 0.6))
+    for leaf in jax.tree_util.tree_leaves(wide):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # randomized reverberation actually changes the echoed spectra
+    assert not np.allclose(
+        np.asarray(wide.echoed_spec), np.asarray(degen.echoed_spec), rtol=1e-2
+    )

@@ -192,3 +192,62 @@ def test_block_matmul_rejects_odd_tw():
             jnp.array([1.0, 1.0, 1.0]), jnp.array([2.0, 2.0, 1.5]),
             room=(4.0, 5.0, 3.0), nsample=256, fs=8000.0, rt60=0.25, tw=31,
         )
+
+
+# --------------------------------------------------- traced-beta (round 3)
+
+
+def test_traced_beta_matches_static():
+    """beta_traced (per-call traced reflection coefficient) reproduces the
+    static-rt60 program exactly — the domain-randomization path changes only
+    how beta arrives, not the math."""
+    want = dsp.generate_rir(
+        jnp.asarray(SOURCE, jnp.float32), jnp.asarray(RECEIVER, jnp.float32),
+        room=ROOM, nsample=NSAMPLE, fs=FS, rt60=0.4, chunk=256,
+    )
+    beta = dsp.beta_from_rt60(ROOM, 0.4)
+    got = dsp.generate_rir(
+        jnp.asarray(SOURCE, jnp.float32), jnp.asarray(RECEIVER, jnp.float32),
+        room=ROOM, nsample=NSAMPLE, fs=FS, beta_traced=jnp.float32(beta), chunk=256,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-7)
+    # traced Sabine == static Sabine
+    np.testing.assert_allclose(
+        float(dsp.beta_from_rt60_traced(ROOM, jnp.float32(0.4))), beta, rtol=1e-6
+    )
+
+
+def test_batch_per_sample_rt60_matches_static_rows():
+    """generate_rir_batch(rt60_traced=[...]) gives each source its own T60,
+    row-equal to individually generated static-rt60 RIRs."""
+    rng = np.random.default_rng(11)
+    sources = jnp.asarray(
+        RECEIVER[None, :] + rng.uniform(-1.0, 1.0, (3, 3)) * 0.5, jnp.float32
+    )
+    rt60s = [0.25, 0.4, 0.55]
+    got = dsp.generate_rir_batch(
+        sources, jnp.asarray(RECEIVER, jnp.float32),
+        rt60_traced=jnp.asarray(rt60s, jnp.float32),
+        room=ROOM, nsample=NSAMPLE, fs=FS, chunk=256,
+    )
+    for i, t in enumerate(rt60s):
+        want = dsp.generate_rir(
+            sources[i], jnp.asarray(RECEIVER, jnp.float32),
+            room=ROOM, nsample=NSAMPLE, fs=FS, rt60=t, chunk=256,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[i]), np.asarray(want), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_traced_beta_excludes_static():
+    with pytest.raises(ValueError, match="beta_traced"):
+        dsp.generate_rir(
+            jnp.zeros(3), jnp.zeros(3), room=ROOM, nsample=64, fs=FS,
+            rt60=0.4, beta_traced=jnp.float32(0.5),
+        )
+    with pytest.raises(ValueError, match="rt60_traced"):
+        dsp.generate_rir_batch(
+            jnp.zeros((1, 3)), jnp.zeros(3), rt60_traced=jnp.ones(1),
+            room=ROOM, nsample=64, fs=FS, rt60=0.4,
+        )
