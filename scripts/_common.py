@@ -101,6 +101,19 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "genereate_dataset.py:60)",
     )
     p.add_argument(
+        "--rir-bank", type=int, default=0, metavar="N_THETA",
+        help="precompute an N_THETA-angle RIR bank once and draw per-sample "
+        "RIRs from it (grid labels; spacing 2pi/N) instead of running "
+        "image-source synthesis per sample — makes --on-the-fly steps "
+        "nearly RIR-free. Combined with --rt60-range the bank gets a T60 "
+        "grid axis (--rir-bank-rt60s values spanning the range)",
+    )
+    p.add_argument(
+        "--rir-bank-rt60s", type=int, default=8,
+        help="T60 grid size for a reverberation-randomized RIR bank "
+        "(used when --rir-bank and --rt60-range are both set)",
+    )
+    p.add_argument(
         "--librispeech-dir", default=None,
         help="root of a LibriSpeech checkout to use as the speech corpus "
         "(walks <root>/LibriSpeech/<url>/... without torchaudio; .wav via "
@@ -193,6 +206,23 @@ def setup(args):
     synth_kw = {}
     if getattr(args, "rt60_range", None):
         synth_kw["rt60_range"] = tuple(args.rt60_range)
+    if getattr(args, "rir_bank", 0):
+        n_theta = args.rir_bank
+        rt60s = None
+        if getattr(args, "rt60_range", None):
+            import numpy as _np
+
+            rt60s = _np.linspace(
+                args.rt60_range[0], args.rt60_range[1], args.rir_bank_rt60s
+            )
+            synth_kw.pop("rt60_range")  # the bank's T60 axis replaces it
+        print(
+            f"building RIR bank: {n_theta} angles"
+            + (f" x {len(rt60s)} T60s" if rt60s is not None else ""),
+            flush=True,
+        )
+        synth_kw["rir_bank"] = D.make_rir_bank(config, n_theta=n_theta, rt60s=rt60s)
+    args._synth_kwargs = dict(synth_kw)  # for trainer_kwargs (--on-the-fly)
     if args.data_dir:
         train = ds.load_all()
     else:
@@ -278,6 +308,9 @@ def trainer_kwargs(args):
         profile_dir=getattr(args, "profile_dir", None),
         cache_frozen=getattr(args, "cache_frozen", False),
     )
-    if getattr(args, "rt60_range", None):
-        kw["synth_kwargs"] = {"rt60_range": tuple(args.rt60_range)}
+    synth_kw = getattr(args, "_synth_kwargs", None)
+    if synth_kw is None and getattr(args, "rt60_range", None):
+        synth_kw = {"rt60_range": tuple(args.rt60_range)}
+    if synth_kw:
+        kw["synth_kwargs"] = synth_kw
     return kw

@@ -5,7 +5,7 @@ from .collate import combine_arrays_with_min_dim, spec_dataset_preprocessing
 from .config import DatasetConfig
 from .dataset import InMemoryDataset, SpecsDataset, save_dataset, save_dataset_reference_format
 from .speech import load_librispeech, load_wav_dir, synthetic_speech_batch
-from .synth import SampleBatch, make_dataset, synthesize_batch
+from .synth import SampleBatch, bank_thetas, make_dataset, make_rir_bank, synthesize_batch
 
 __all__ = [
     "combine_arrays_with_min_dim",
@@ -21,4 +21,6 @@ __all__ = [
     "SampleBatch",
     "make_dataset",
     "synthesize_batch",
+    "make_rir_bank",
+    "bank_thetas",
 ]

@@ -79,8 +79,18 @@ def beta_from_rt60_traced(room: Sequence[float], rt60: jax.Array, c: float = 340
     return jnp.sqrt(jnp.maximum(1.0 - alpha, 0.0))
 
 
-def _image_grid(room: Sequence[float], nsample: int, fs: float, c: float):
-    """Static enumeration of the image-source lattice as numpy arrays."""
+def _image_grid(
+    room: Sequence[float], nsample: int, fs: float, c: float, cull: bool = True
+):
+    """Static enumeration of the image-source lattice as numpy arrays.
+
+    ``cull=True`` drops lattice rows that can NEVER land inside the
+    ``nsample``-tap window for ANY source/receiver inside the room (interval
+    arithmetic on pos_i = ±s_i − r_i + 2 m_i L_i with s_i, r_i ∈ [0, L_i]):
+    the kept set is exact — every dynamically contributing image survives —
+    but the corner of the L∞ lattice box beyond the L2 horizon (~47% of rows
+    for the reference room) is removed at trace time, cutting the scan's
+    image count and therefore RIR synthesis time by ~2x."""
     cTs = c / fs
     counts = [int(math.ceil(nsample / (2.0 * (dim / cTs)))) for dim in room]
     n1, n2, n3 = counts
@@ -91,12 +101,31 @@ def _image_grid(room: Sequence[float], nsample: int, fs: float, c: float):
     grid = np.meshgrid(mx, my, mz, bits, bits, bits, indexing="ij")
     flat = [g.reshape(-1) for g in grid]
     # (N, 6): mx, my, mz, q, j, k
-    return np.stack(flat, axis=1).astype(np.int32)
+    images = np.stack(flat, axis=1).astype(np.int32)
+    if not cull:
+        return images
+    L = np.asarray(room, np.float64) / cTs  # room in sample units
+    m = images[:, 0:3].astype(np.float64)
+    q = images[:, 3:6].astype(np.float64)
+    center = 2.0 * m * L[None, :]
+    # q=0: pos_i = s_i - r_i + 2 m_i L_i  in [c - L_i, c + L_i]
+    # q=1: pos_i = -s_i - r_i + 2 m_i L_i in [c - 2 L_i, c]
+    lo = np.where(q == 0, center - L, center - 2.0 * L)
+    hi = np.where(q == 0, center + L, center)
+    # min |pos_i| over the interval: 0 if it straddles 0, else nearest end
+    min_abs = np.where((lo <= 0.0) & (hi >= 0.0), 0.0, np.minimum(np.abs(lo), np.abs(hi)))
+    dist_lb = np.sqrt(np.sum(min_abs**2, axis=1))
+    # dynamic keep is floor(dist) < nsample i.e. dist < nsample; a lower
+    # bound >= nsample can never contribute
+    return images[dist_lb < nsample]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("room", "nsample", "fs", "c", "rt60", "beta", "order", "tw", "hp", "method", "chunk"),
+    static_argnames=(
+        "room", "nsample", "fs", "c", "rt60", "beta", "order", "tw", "hp",
+        "method", "chunk", "cull",
+    ),
 )
 def generate_rir(
     source: jax.Array,
@@ -114,9 +143,15 @@ def generate_rir(
     hp: bool = True,
     method: str = "block_matmul",
     chunk: int = 16384,
+    cull: bool = True,
 ) -> jax.Array:
     """Generate one RIR. ``source``/``receiver`` are traced (3,) positions in
     meters; the room geometry / sampling config are static. Returns (nsample,).
+
+    ``cull``: statically drop lattice images that cannot reach the window for
+    any IN-ROOM source/receiver (see :func:`_image_grid`) — exact for in-room
+    positions (which :func:`..dsp.specs.source_coordinates` guarantees by
+    clipping); set False for out-of-room experiments.
 
     Drop-in semantics of ``rir.generate(c, fs, r, s, L, reverberation_time,
     nsample)`` (genereate_dataset.py:21-29) with omnidirectional microphone.
@@ -155,7 +190,7 @@ def generate_rir(
     L = jnp.asarray(np.asarray(room, np.float64) / cTs, jnp.float32)
     betas = jnp.asarray(beta_vals, jnp.float32)
 
-    images = _image_grid(room, nsample, fs, c)  # (N, 6) int32 numpy
+    images = _image_grid(room, nsample, fs, c, cull=cull)  # (N, 6) int32 numpy
     n_img = images.shape[0]
     pad = (-n_img) % chunk
     if pad:

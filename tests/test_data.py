@@ -281,3 +281,77 @@ def test_synthesize_batch_rt60_range():
     assert not np.allclose(
         np.asarray(wide.echoed_spec), np.asarray(degen.echoed_spec), rtol=1e-2
     )
+
+
+# ------------------------------------------------------------------ RIR bank
+
+
+def test_rir_bank_rows_match_direct_generation():
+    """Bank row i IS generate_rir at the grid angle theta_i."""
+    from acoustic_locating_vq_vae_tpu import dsp
+    from acoustic_locating_vq_vae_tpu.data.synth import bank_thetas, make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    bank = make_rir_bank(cfg, n_theta=8, chunk=2048, batch=4)
+    assert bank.shape == (8, cfg.n_sample)
+    thetas = bank_thetas(8)
+    recv = jnp.asarray(cfg.receiver_position, jnp.float32)
+    room = jnp.asarray(cfg.room_dimensions, jnp.float32)
+    src = dsp.source_coordinates(jnp.asarray(thetas), recv, room, radius=cfg.R, z_loc=cfg.Z_LOC_SOURCE)
+    for i in (0, 3, 7):
+        want = dsp.generate_rir(
+            src[i], recv, room=tuple(cfg.room_dimensions), nsample=cfg.n_sample,
+            fs=float(cfg.fs), c=cfg.c, rt60=cfg.reverberation_time, chunk=2048,
+        )
+        np.testing.assert_allclose(np.asarray(bank[i]), np.asarray(want), rtol=1e-5, atol=1e-8)
+
+
+def test_synthesize_batch_from_bank_matches_direct_pipeline():
+    """Bank-based OTF synthesis: each sample's theta label lands on the grid
+    and its echoed spectrogram equals the full image-source pipeline run at
+    exactly that angle with the same speech."""
+    from acoustic_locating_vq_vae_tpu import dsp
+    from acoustic_locating_vq_vae_tpu.data.synth import bank_thetas, make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    bank = make_rir_bank(cfg, n_theta=16, chunk=2048, batch=8)
+    key = jax.random.PRNGKey(3)
+    speech = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (4, cfg.audio_samples)) * 0.1
+    )
+    b = D.synthesize_batch(key, 4, cfg, speech=jnp.asarray(speech), rir_bank=bank, rir_chunk=2048)
+    thetas = np.asarray(b.theta)
+    grid = bank_thetas(16)
+    for t in thetas:
+        assert np.min(np.abs(grid - t)) < 1e-6  # labels on the grid
+
+    # re-synthesize the echoed specs the slow way at the same angles
+    recv = jnp.asarray(cfg.receiver_position, jnp.float32)
+    room = jnp.asarray(cfg.room_dimensions, jnp.float32)
+    src = dsp.source_coordinates(jnp.asarray(thetas), recv, room, radius=cfg.R, z_loc=cfg.Z_LOC_SOURCE)
+    h = dsp.generate_rir_batch(
+        src, recv, room=tuple(cfg.room_dimensions), nsample=cfg.n_sample,
+        fs=float(cfg.fs), c=cfg.c, rt60=cfg.reverberation_time, chunk=2048,
+    )
+    echoed = dsp.fft_convolve(jnp.asarray(speech), h, mode="same")
+    spec = dsp.spectrogram(echoed, n_fft=cfg.NFFT, hop_length=cfg.HOP_LENGTH, power=None, normalized=True)
+    want = (np.abs(np.asarray(spec)) ** 2)[..., : cfg.num_frames]
+    np.testing.assert_allclose(np.asarray(b.echoed_spec), want, rtol=1e-4, atol=1e-7)
+
+
+def test_rir_bank_3d_t60_axis():
+    """A (n_t60, n_theta, n_sample) bank draws a per-sample T60 grid index;
+    excludes rt60_range."""
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    bank = make_rir_bank(cfg, n_theta=4, rt60s=(0.3, 0.5), chunk=2048, batch=4)
+    assert bank.shape == (2, 4, cfg.n_sample)
+    assert not np.allclose(np.asarray(bank[0]), np.asarray(bank[1]))
+    b = D.synthesize_batch(jax.random.PRNGKey(5), 6, cfg, rir_bank=bank, rir_chunk=2048)
+    for leaf in jax.tree_util.tree_leaves(b):
+        assert np.isfinite(np.asarray(leaf)).all()
+    with pytest.raises(ValueError, match="rt60_range"):
+        D.synthesize_batch(
+            jax.random.PRNGKey(5), 2, cfg, rir_bank=bank, rt60_range=(0.2, 0.6)
+        )
