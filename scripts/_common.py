@@ -101,6 +101,27 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "genereate_dataset.py:60)",
     )
     p.add_argument(
+        "--dataset-bf16", action="store_true",
+        help="store synthesized dataset spectra in bfloat16 (half the HBM; "
+        "decompressed to f32 per sampled batch) — for 20k-scale sets",
+    )
+    p.add_argument(
+        "--prune-dataset", action="store_true",
+        help="keep only the SampleBatch fields THIS stage reads in the "
+        "synthesized dataset (~3x less HBM; per-stage scripts only — the "
+        "pipeline shares one dataset across stages)",
+    )
+    p.add_argument(
+        "--host-staged", type=int, default=0, metavar="CHUNK_SIZE",
+        help="generate the dataset into HOST memory and train from "
+        "CHUNK_SIZE-row device-resident chunks rotated every "
+        "--rotate-every steps — for datasets beyond HBM (reference 20k_set)",
+    )
+    p.add_argument(
+        "--rotate-every", type=int, default=500,
+        help="chunk rotation cadence for --host-staged",
+    )
+    p.add_argument(
         "--rir-bank", type=int, default=0, metavar="N_THETA",
         help="precompute an N_THETA-angle RIR bank once and draw per-sample "
         "RIRs from it (grid labels; spacing 2pi/N) instead of running "
@@ -128,8 +149,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def setup(args):
-    """Configure jax, build mesh + dataset config, load or synthesize data."""
+def setup(args, resident_fields=None):
+    """Configure jax, build mesh + dataset config, load or synthesize data.
+
+    ``resident_fields``: the stage's SampleBatch field subset (per-stage
+    scripts pass their Task's resident_fields) — used by --prune-dataset."""
     import jax
 
     if args.platform:
@@ -223,14 +247,32 @@ def setup(args):
         )
         synth_kw["rir_bank"] = D.make_rir_bank(config, n_theta=n_theta, rt60s=rt60s)
     args._synth_kwargs = dict(synth_kw)  # for trainer_kwargs (--on-the-fly)
+    store_kw = {}
+    if getattr(args, "dataset_bf16", False):
+        import jax.numpy as jnp
+
+        store_kw["store_dtype"] = jnp.bfloat16
+    if getattr(args, "prune_dataset", False):
+        if resident_fields is None:
+            print("--prune-dataset ignored: this entry point is not stage-scoped", flush=True)
+        else:
+            store_kw["keep_fields"] = tuple(resident_fields)
     if args.data_dir:
         train = ds.load_all()
+    elif getattr(args, "host_staged", 0):
+        train = D.make_host_dataset(
+            k_train, args.dataset_size, config, speech_pool=pool,
+            chunk_size=args.host_staged, rotate_every=args.rotate_every,
+            **synth_kw, **store_kw,
+        )
     else:
-        train = D.make_dataset(k_train, args.dataset_size, config, speech_pool=pool, **synth_kw)
+        train = D.make_dataset(
+            k_train, args.dataset_size, config, speech_pool=pool, **synth_kw, **store_kw
+        )
     if args.val_dir:
         val = D.SpecsDataset(args.val_dir).load_all()
     elif args.val_size > 0:
-        val = D.make_dataset(k_val, args.val_size, config, speech_pool=pool, **synth_kw)
+        val = D.make_dataset(k_val, args.val_size, config, speech_pool=pool, **synth_kw, **store_kw)
     else:
         val = None
     return config, mesh, train, val

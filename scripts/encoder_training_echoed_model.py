@@ -13,7 +13,9 @@ def main():
         "parity, which collapses the codebooks — see VALIDATION.md; 0.25 recommended)",
     )
     args = p.parse_args()
-    config, mesh, train, val = setup(args)
+    from acoustic_locating_vq_vae_tpu.train import EncoderFinetuneTask as _T
+
+    config, mesh, train, val = setup(args, resident_fields=_T().resident_fields)
 
     import jax
 

@@ -8,7 +8,9 @@ from _common import base_parser, setup, task_kwargs, trainer_kwargs
 
 def main():
     args = base_parser(__doc__).parse_args()
-    config, mesh, train, val = setup(args)
+    from acoustic_locating_vq_vae_tpu.train import EchoedSpeechTask as _T
+
+    config, mesh, train, val = setup(args, resident_fields=_T().resident_fields)
 
     import jax
 

@@ -20,7 +20,9 @@ def main():
     p.add_argument("--commitment-weight", type=float, default=0.25,
                    help="(--joint) encoder-to-codebook anchor weight")
     args = p.parse_args()
-    config, mesh, train, val = setup(args)
+    from acoustic_locating_vq_vae_tpu.train import LocationTask as _T
+
+    config, mesh, train, val = setup(args, resident_fields=_T().resident_fields)
 
     import jax
 

@@ -3,15 +3,31 @@ reference-interoperable disk datasets, collation, and speech sources."""
 
 from .collate import combine_arrays_with_min_dim, spec_dataset_preprocessing
 from .config import DatasetConfig
-from .dataset import InMemoryDataset, SpecsDataset, save_dataset, save_dataset_reference_format
+from .dataset import (
+    HostStagedDataset,
+    InMemoryDataset,
+    SpecsDataset,
+    make_host_dataset,
+    save_dataset,
+    save_dataset_reference_format,
+)
 from .speech import load_librispeech, load_wav_dir, synthetic_speech_batch
-from .synth import SampleBatch, bank_thetas, make_dataset, make_rir_bank, synthesize_batch
+from .synth import (
+    SampleBatch,
+    bank_thetas,
+    make_dataset,
+    make_rir_bank,
+    prune_batch,
+    synthesize_batch,
+)
 
 __all__ = [
     "combine_arrays_with_min_dim",
     "spec_dataset_preprocessing",
     "DatasetConfig",
     "InMemoryDataset",
+    "HostStagedDataset",
+    "make_host_dataset",
     "SpecsDataset",
     "save_dataset",
     "save_dataset_reference_format",
@@ -22,5 +38,6 @@ __all__ = [
     "make_dataset",
     "synthesize_batch",
     "make_rir_bank",
+    "prune_batch",
     "bank_thetas",
 ]

@@ -27,7 +27,13 @@ import numpy as np
 from .config import DatasetConfig
 from .synth import SampleBatch
 
-__all__ = ["SpecsDataset", "InMemoryDataset", "save_dataset", "save_dataset_reference_format"]
+__all__ = [
+    "SpecsDataset",
+    "InMemoryDataset",
+    "HostStagedDataset",
+    "save_dataset",
+    "save_dataset_reference_format",
+]
 
 
 def save_dataset(root_dir: str, batch: SampleBatch, config: DatasetConfig) -> None:
@@ -164,3 +170,70 @@ class InMemoryDataset:
         reference's ``next(iter(loader))`` idiom (train_speech.py:57-61)."""
         idx = jax.random.choice(key, self.size, (batch_size,), replace=False)
         return jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), self.data)
+
+
+class HostStagedDataset:
+    """Host-RAM dataset served to the device in fixed-size resident chunks.
+
+    The reference's largest named set (``20k_set``, train_rir.py:121) at
+    ~1.2 MB/sample exceeds one chip's HBM as a fully resident f32 tree;
+    this class keeps the WHOLE set in host memory as numpy and exposes
+    ``chunk(i)`` slices. The Trainer holds one chunk device-resident,
+    samples batches from it with the unchanged stratified sampler, and
+    rotates to the next chunk every ``rotate_every`` steps — training
+    visits the full set at a bounded HBM footprint. Combine with
+    ``make_dataset(keep_fields=..., store_dtype=jnp.bfloat16)`` to shrink
+    both host and device cost first.
+    """
+
+    def __init__(self, batch: SampleBatch, chunk_size: int, rotate_every: int = 500):
+        self.arrays = jax.tree_util.tree_map(
+            lambda a: np.asarray(jax.device_get(a)), batch
+        )
+        self.size = int(self.arrays.theta.shape[0])
+        if chunk_size <= 0:
+            raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+        self.chunk_size = min(chunk_size, self.size)
+        if self.size % self.chunk_size:
+            # keep every chunk the same (jit-stable) size; the tail rows
+            # fold into the final chunk's window by sliding it back
+            self._tail_ok = True
+        self.num_chunks = -(-self.size // self.chunk_size)
+        self.rotate_every = rotate_every
+
+    def chunk(self, i: int) -> SampleBatch:
+        """The i-th (cyclic) chunk as device arrays; the last window slides
+        back so every chunk has exactly ``chunk_size`` rows."""
+        lo = (i % self.num_chunks) * self.chunk_size
+        lo = min(lo, self.size - self.chunk_size)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a[lo : lo + self.chunk_size]), self.arrays
+        )
+
+
+def make_host_dataset(
+    key: jax.Array,
+    size: int,
+    config: DatasetConfig = DatasetConfig(),
+    batch: int = 64,
+    chunk_size: int = 2000,
+    rotate_every: int = 500,
+    **kwargs,
+) -> HostStagedDataset:
+    """Generate a ``size``-sample dataset straight into HOST memory (each
+    synthesis batch is device_get'd immediately, so the device transient
+    stays batch-sized) wrapped as a :class:`HostStagedDataset`. Accepts all
+    :func:`..data.synth.make_dataset` kwargs incl. ``keep_fields`` /
+    ``store_dtype`` / ``rir_bank`` / ``speech_pool``."""
+    from .synth import make_dataset
+
+    parts = []
+    done = 0
+    while done < size:
+        key, sub = jax.random.split(key)
+        n = min(chunk_size, size - done)
+        part = make_dataset(sub, n, config, batch=batch, **kwargs)
+        parts.append(jax.tree_util.tree_map(lambda a: np.asarray(jax.device_get(a)), part))
+        done += n
+    host = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *parts)
+    return HostStagedDataset(host, chunk_size=chunk_size, rotate_every=rotate_every)

@@ -247,12 +247,41 @@ def synthesize_batch(
     )
 
 
+def prune_batch(
+    batch: SampleBatch, keep_fields, store_dtype=None
+) -> SampleBatch:
+    """Shrink a SampleBatch for resident storage: 3-D spectrogram leaves not
+    in ``keep_fields`` become (B, 0, 0) placeholders (structure preserved,
+    zero bytes), and kept floating leaves optionally cast to ``store_dtype``
+    (bf16 halves HBM; the Trainer casts back to f32 at batch-sampling time).
+    The small 1-D leaves (fs, theta) always survive."""
+    def prune(name, a):
+        if a.ndim == 3 and name not in keep_fields:
+            return jnp.zeros((a.shape[0], 0, 0), a.dtype)
+        if name == "wiener_est" and name not in keep_fields:
+            return jnp.zeros((a.shape[0], 0), a.dtype)
+        if store_dtype is not None and jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2:
+            return a.astype(store_dtype)
+        return a
+
+    return SampleBatch(
+        **{
+            name: prune(name, getattr(batch, name))
+            for name in (
+                "speech_spec", "rir_spec", "echoed_spec", "fs", "theta", "wiener_est"
+            )
+        }
+    )
+
+
 def make_dataset(
     key: jax.Array,
     size: int,
     config: DatasetConfig = DatasetConfig(),
     batch: int = 32,
     speech_pool=None,
+    keep_fields=None,
+    store_dtype=None,
     **kwargs,
 ) -> SampleBatch:
     """Generate a ``size``-sample dataset by concatenating jitted batches
@@ -263,6 +292,13 @@ def make_dataset(
     uniformly drawn utterance from the pool — the reference's
     random-LibriSpeech-utterance-per-sample role (genereate_dataset.py:93-97).
     Default draws from the on-device synthetic source-filter generator.
+
+    ``keep_fields`` / ``store_dtype``: resident-storage compression for
+    20k-scale single-stage datasets (reference names a ``20k_set``,
+    train_rir.py:121; all leaves in f32 would need 24 GB — over one chip's
+    HBM): keep only the stage's :attr:`..train.tasks.Task.resident_fields`
+    and store spectra in bf16 — 20k x speech = 4 GB. Pruning happens
+    per-synthesis-batch, so the transient footprint stays batch-sized.
     """
     if size <= 0:
         raise ValueError(f"dataset size must be positive, got {size}")
@@ -282,5 +318,14 @@ def make_dataset(
             sub, k_pick = jax.random.split(sub)
             idx = np.asarray(jax.random.randint(k_pick, (b,), 0, speech_pool.shape[0]))
             kw["speech"] = jnp.asarray(speech_pool[idx])
-        batches.append(synthesize_batch(sub, b, config, **kw))
+        made = synthesize_batch(sub, b, config, **kw)
+        if keep_fields is not None or store_dtype is not None:
+            made = prune_batch(
+                made,
+                keep_fields
+                if keep_fields is not None
+                else ("speech_spec", "rir_spec", "echoed_spec", "wiener_est"),
+                store_dtype,
+            )
+        batches.append(made)
     return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)

@@ -185,6 +185,17 @@ class Trainer:
         return tuple(x[..., : min(16, x.shape[-1])] for x in inputs)
 
     def init_state(self, key: jax.Array, example_batch: SampleBatch) -> TrainState:
+        from ..data.dataset import HostStagedDataset
+
+        if isinstance(example_batch, HostStagedDataset):
+            example_batch = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a[:1]), example_batch.arrays
+            )
+        # bf16-stored datasets: init traces on the f32 the step decompresses to.
+        example_batch = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            example_batch,
+        )
         k_params, k_jitter, k_loop = jax.random.split(key, 3)
         inputs = self._example_model_inputs(example_batch)
         rngs = {"params": k_params}
@@ -355,6 +366,13 @@ class Trainer:
             else:
                 picked = sample(data, k_sample, dataset_size)
                 batch, cache_b = picked if has_cache else (picked, None)
+            # bf16-STORED datasets (make_dataset store_dtype=, the 20k-scale
+            # compression) are decompressed per sampled batch: compute stays
+            # f32 (or the model's own compute_dtype) regardless of storage.
+            batch = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+                batch,
+            )
             rngs = {"jitter": k_jitter} if "jitter" in self.task.rng_streams else {}
 
             if is_train:
@@ -396,6 +414,24 @@ class Trainer:
         AND step), so a crash loses at most ``ckpt_every`` updates — unlike
         the reference, which never saves optimizer state (SURVEY.md §5.3)."""
         num_updates = num_updates or self.task.num_updates
+        # 20k-scale host-staged path (SURVEY.md; reference 20k_set,
+        # train_rir.py:121): keep one fixed-size chunk device-resident,
+        # rotate it every host_train.rotate_every steps.
+        from ..data.dataset import HostStagedDataset
+
+        host_train = train_data if isinstance(train_data, HostStagedDataset) else None
+        chunk_i = 0
+        if host_train is not None:
+            if self.on_the_fly:
+                raise ValueError("host-staged train data is pointless with on_the_fly")
+            train_data = host_train.chunk(0)
+            if self.verbose:
+                print(
+                    f"[{self.task.name}] host-staged dataset: {host_train.size} rows, "
+                    f"{host_train.num_chunks} chunks of {host_train.chunk_size} "
+                    f"resident, rotating every {host_train.rotate_every} steps",
+                    flush=True,
+                )
         if train_data is None:
             if not self.on_the_fly:
                 raise ValueError("train_data=None requires on_the_fly=True")
@@ -420,6 +456,8 @@ class Trainer:
         train_data = jax.device_put(
             train_data, batch_shardings(train_data, self.mesh, self.seq_axis)
         )
+        if not self.on_the_fly:
+            self._check_resident_fields(train_data)
         n_train = int(train_data.speech_spec.shape[0])
         if val_data is not None:
             val_data = jax.device_put(
@@ -459,6 +497,23 @@ class Trainer:
         trace_window = (start + 2, min(start + 7, num_updates))  # steady-state steps
         tracing = False
         for i in range(start, num_updates):
+            if (
+                host_train is not None
+                and i > start
+                and (i - start) % host_train.rotate_every == 0
+            ):
+                chunk_i += 1
+                train_data = jax.device_put(
+                    host_train.chunk(chunk_i),
+                    batch_shardings(train_data, self.mesh, self.seq_axis),
+                )
+                # Chunk rotation invalidates per-row caches; the frozen
+                # branches' params are bit-constant, so rebuilding is exact.
+                train_op = (
+                    (train_data, self._build_cache(state, train_data))
+                    if caching and not self.on_the_fly
+                    else train_data
+                )
             if self.profile_dir and i == trace_window[0]:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
@@ -499,6 +554,22 @@ class Trainer:
         if self.store:
             self.save_checkpoint(state, tag=self.task.name, final=True)
         return state, history
+
+    def _check_resident_fields(self, data: SampleBatch):
+        """Fail fast when a field-pruned dataset (make_dataset keep_fields=)
+        is missing a field THIS task reads — a (B, 0, 0) placeholder would
+        otherwise surface as a cryptic conv shape error."""
+        missing = []
+        for f in getattr(self.task, "resident_fields", ()):
+            a = getattr(data, f, None)
+            if a is not None and a.ndim >= 2 and 0 in a.shape[1:]:
+                missing.append(f)
+        if missing:
+            raise ValueError(
+                f"dataset was pruned without {missing}, which task "
+                f"{self.task.name!r} reads — regenerate with keep_fields "
+                f"covering {tuple(getattr(self.task, 'resident_fields', ()))}"
+            )
 
     def _frozen_fingerprint(self, state: TrainState):
         """Host copies of the param subtrees the frozen-latent cache assumes

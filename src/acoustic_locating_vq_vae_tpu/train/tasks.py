@@ -84,6 +84,15 @@ class Task:
         return True
 
     @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        """SampleBatch fields this task's loss actually reads. A 20k-scale
+        resident dataset stores ~1.2 MB/sample across all spectrogram leaves
+        (over one chip's HBM, reference 20k_set: train_rir.py:121); pruning
+        to the stage's fields (make_dataset keep_fields=) cuts that ~3x, and
+        bf16 storage halves it again — 20k x speech = 4 GB, resident."""
+        return ("speech_spec", "rir_spec", "echoed_spec", "fs", "theta", "wiener_est")
+
+    @property
     def supports_cache(self) -> bool:
         """Whether the task exposes a frozen path the Trainer may cache
         (build_cache / loss_cached or feats_from_codes). Default: no."""
@@ -158,6 +167,10 @@ class SpeechVQVAETask(Task):
                 else self.sequence_axis is None
             ),
         )
+
+    @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        return ("speech_spec", "fs", "theta")
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         # abs + z-norm over the freq dim (train_speech.py:63-64)
@@ -318,6 +331,10 @@ class EchoedSpeechTask(Task):
             compat_vq_flatten=self.compat_vq_flatten,
             sequence_axis=self.sequence_axis,
         )
+
+    @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        return ("echoed_spec", "fs", "theta")
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         x = znorm(batch.echoed_spec, axis=1)  # train_echoed_speech.py:64
@@ -488,6 +505,10 @@ class LocationTask(Task):
             feats = jax.nn.one_hot(codes, k, dtype=jnp.float32)  # (B, F, K)
         return jax.lax.stop_gradient(feats)
 
+    @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        return ("echoed_spec", "fs", "theta")
+
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         raise RuntimeError("LocationTask needs composite encodings; use loss()")
 
@@ -613,6 +634,10 @@ class JointLocationTask(Task):
             lambda a: jnp.array(a), composite_params["rir_model"]
         )
         return p
+
+    @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        return ("echoed_spec", "fs", "theta")
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         x = znorm(batch.echoed_spec, axis=1)  # train_location.py:63-65
