@@ -309,7 +309,19 @@ def make_dataset(
                 f"speech_pool length {speech_pool.shape[1]} != config.audio_samples "
                 f"{config.audio_samples}"
             )
-    batches = []
+
+    # Assemble into a PREALLOCATED buffer with a donating jitted insert: the
+    # peak footprint is dataset + one batch. (Keeping every sub-batch alive
+    # and concatenating at the end doubles the peak — 8 GB transient for a
+    # 20k bf16 set — and OOMs the chip.)
+    @functools.partial(jax.jit, donate_argnums=0)
+    def _insert(buf, chunk, start):
+        return jax.tree_util.tree_map(
+            lambda o, c: jax.lax.dynamic_update_slice_in_dim(o, c, start, axis=0),
+            buf, chunk,
+        )
+
+    buf = None
     for i in range(0, size, batch):
         key, sub = jax.random.split(key)
         b = min(batch, size - i)
@@ -327,5 +339,9 @@ def make_dataset(
                 else ("speech_spec", "rir_spec", "echoed_spec", "wiener_est"),
                 store_dtype,
             )
-        batches.append(made)
-    return jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
+        if buf is None:
+            buf = jax.tree_util.tree_map(
+                lambda a: jnp.zeros((size,) + a.shape[1:], a.dtype), made
+            )
+        buf = _insert(buf, made, jnp.int32(i))
+    return buf
