@@ -344,4 +344,29 @@ def make_dataset(
                 lambda a: jnp.zeros((size,) + a.shape[1:], a.dtype), made
             )
         buf = _insert(buf, made, jnp.int32(i))
-    return buf
+    return _pin_default_layout(buf)
+
+
+def _pin_default_layout(tree):
+    """Force row-major (default) device layouts on a resident dataset.
+
+    XLA assigns the synthesis program's preferred OUTPUT layout to the
+    buffer; jit then compiles the training step against that parameter
+    layout and inserts a WHOLE-DATASET relayout copy in every step (measured:
+    rir step 4.6 -> 15.6 ms at 16k rows, pure O(n) layout-copy). One
+    explicit relayout here makes the per-step cost size-independent."""
+    try:
+        from jax.experimental.layout import Format, Layout
+    except ImportError:  # older jax: no layout control, nothing to pin
+        return tree
+
+    def fix(a):
+        fmt = getattr(a, "format", None)
+        if a.ndim < 2 or fmt is None or getattr(fmt, "layout", None) is None:
+            return a
+        want = tuple(range(a.ndim))
+        if tuple(fmt.layout.major_to_minor) == want:
+            return a
+        return jax.device_put(a, Format(Layout(want), a.sharding))
+
+    return jax.tree_util.tree_map(fix, tree)

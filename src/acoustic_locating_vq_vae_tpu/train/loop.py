@@ -36,7 +36,47 @@ from ..parallel.mesh import batch_shardings, local_mesh, replicated, shard_param
 from ..utils.checkpoint import StageStore
 from .tasks import LocationTask, Task
 
-__all__ = ["TrainState", "Trainer", "TrainHistory"]
+__all__ = ["TrainState", "Trainer", "TrainHistory", "sample_without_replacement"]
+
+
+def sample_without_replacement(key: jax.Array, n, k: int) -> jnp.ndarray:
+    """Exactly uniform k distinct indices from [0, n) in O(k^2) compute,
+    INDEPENDENT of n.
+
+    ``jax.random.choice(replace=False)`` materializes a full n-permutation
+    (an n-key sort) per call; inside the per-step batch sampler that made
+    step time scale linearly with the resident dataset size (20k rows
+    tripled the rir step, BASELINE.md round 3). This is the first k steps of
+    Fisher-Yates on a VIRTUAL arange(n): the at-most-k touched entries live
+    in a small table, each lookup is a vectorized scan over it. ``n`` may be
+    traced; ``k`` is static.
+    """
+    k = int(k)
+    sentinel = jnp.int32(-1)
+
+    def lookup(pos_tab, val_tab, x):
+        # value of virtual a[x]: the LATEST table entry writing position x,
+        # else x itself. Entries are appended in iteration order, so the
+        # highest matching slot wins.
+        matches = pos_tab == x
+        any_match = jnp.any(matches)
+        idx = jnp.where(matches, jnp.arange(k), -1).max()
+        return jnp.where(any_match, val_tab[jnp.maximum(idx, 0)], x)
+
+    def body(carry, i):
+        key, pos_tab, val_tab = carry
+        key, sub = jax.random.split(key)
+        j = jax.random.randint(sub, (), 0, n - i) + i  # j ~ U[i, n)
+        out = lookup(pos_tab, val_tab, j)
+        # a[j] <- (virtual) a[i]; a[i] is never read again (future j >= i+1)
+        a_i = lookup(pos_tab, val_tab, i)
+        pos_tab = pos_tab.at[i].set(j)
+        val_tab = val_tab.at[i].set(a_i)
+        return (key, pos_tab, val_tab), out
+
+    init = (key, jnp.full((k,), sentinel), jnp.full((k,), sentinel))
+    _, out = jax.lax.scan(body, init, jnp.arange(k))
+    return out
 
 
 class TrainState(struct.PyTreeNode):
@@ -191,9 +231,12 @@ class Trainer:
             example_batch = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a[:1]), example_batch.arrays
             )
-        # bf16-stored datasets: init traces on the f32 the step decompresses to.
+        # One example row, decompressed to the f32 the step samples in (the
+        # cast must NOT map over the whole dataset — 12 GB -> 24 GB OOM).
         example_batch = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a,
+            lambda a: (
+                a[:1].astype(jnp.float32) if a.dtype == jnp.bfloat16 else a[:1]
+            ),
             example_batch,
         )
         k_params, k_jitter, k_loop = jax.random.split(key, 3)
@@ -300,7 +343,7 @@ class Trainer:
 
                 def local_sample(k, *arrays):
                     k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-                    idx = jax.random.choice(k, local_n, (per_shard,), replace=False)
+                    idx = sample_without_replacement(k, local_n, per_shard)
                     return tuple(jnp.take(a, idx, axis=0) for a in arrays)
 
                 leaves, treedef = jax.tree_util.tree_flatten(data)
@@ -335,7 +378,7 @@ class Trainer:
                     "to a multiple of the data axis for stratified sampling.",
                     stacklevel=1,
                 )
-            idx = jax.random.choice(key, size, (take_n,), replace=False)
+            idx = sample_without_replacement(key, size, take_n)
             picked = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), data)
             # Keep the gathered batch sharded over the data axis.
             return jax.tree_util.tree_map(

@@ -235,6 +235,10 @@ class RirVQVAETask(Task):
             ),
         )
 
+    @property
+    def resident_fields(self) -> Tuple[str, ...]:
+        return ("rir_spec", "wiener_est", "fs", "theta")
+
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         # z-norm over dim 1 THEN permute (B,F,T)->(B,T,F) (train_rir.py:44-45)
         x = znorm(batch.rir_spec, axis=1)
