@@ -539,24 +539,38 @@ class Trainer:
         frames = 0
         trace_window = (start + 2, min(start + 7, num_updates))  # steady-state steps
         tracing = False
+        next_chunk = None
+        prefetch_at = max(1, (host_train.rotate_every + 1) // 2) if host_train else 0
         for i in range(start, num_updates):
-            if (
-                host_train is not None
-                and i > start
-                and (i - start) % host_train.rotate_every == 0
-            ):
-                chunk_i += 1
-                train_data = jax.device_put(
-                    host_train.chunk(chunk_i),
-                    batch_shardings(train_data, self.mesh, self.seq_axis),
-                )
-                # Chunk rotation invalidates per-row caches; the frozen
-                # branches' params are bit-constant, so rebuilding is exact.
-                train_op = (
-                    (train_data, self._build_cache(state, train_data))
-                    if caching and not self.on_the_fly
-                    else train_data
-                )
+            if host_train is not None and i > start:
+                off = (i - start) % host_train.rotate_every
+                if off == prefetch_at and next_chunk is None:
+                    # Start the next chunk's host->device transfer NOW (jax
+                    # transfers are async) so it overlaps the remaining
+                    # steps of this window instead of stalling the rotation.
+                    next_chunk = jax.device_put(
+                        host_train.chunk(chunk_i + 1),
+                        batch_shardings(train_data, self.mesh, self.seq_axis),
+                    )
+                if off == 0:
+                    chunk_i += 1
+                    train_data = (
+                        next_chunk
+                        if next_chunk is not None
+                        else jax.device_put(
+                            host_train.chunk(chunk_i),
+                            batch_shardings(train_data, self.mesh, self.seq_axis),
+                        )
+                    )
+                    next_chunk = None
+                    # Chunk rotation invalidates per-row caches; the frozen
+                    # branches' params are bit-constant, so rebuilding is
+                    # exact.
+                    train_op = (
+                        (train_data, self._build_cache(state, train_data))
+                        if caching and not self.on_the_fly
+                        else train_data
+                    )
             if self.profile_dir and i == trace_window[0]:
                 jax.profiler.start_trace(self.profile_dir)
                 tracing = True
