@@ -74,7 +74,13 @@ def sample_without_replacement(key: jax.Array, n, k: int) -> jnp.ndarray:
         val_tab = val_tab.at[i].set(a_i)
         return (key, pos_tab, val_tab), out
 
-    init = (key, jnp.full((k,), sentinel), jnp.full((k,), sentinel))
+    # Inside a shard_map (the stratified per-shard sampler) the key is
+    # VARYING over the manual mesh axes while fresh constants are not; the
+    # scan requires carry in/out varying-ness to match, so taint the init
+    # tables with a zero derived from the key.
+    key, k_taint = jax.random.split(key)
+    taint = (jax.random.randint(k_taint, (), 0, 1) * 0).astype(jnp.int32)
+    init = (key, jnp.full((k,), sentinel) + taint, jnp.full((k,), sentinel) + taint)
     _, out = jax.lax.scan(body, init, jnp.arange(k))
     return out
 
