@@ -31,6 +31,7 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..data.dataset import sample_without_replacement
 from ..data.synth import SampleBatch
 from ..parallel.mesh import batch_shardings, local_mesh, replicated, shard_params
 from ..utils.checkpoint import StageStore
@@ -38,51 +39,6 @@ from .tasks import LocationTask, Task
 
 __all__ = ["TrainState", "Trainer", "TrainHistory", "sample_without_replacement"]
 
-
-def sample_without_replacement(key: jax.Array, n, k: int) -> jnp.ndarray:
-    """Exactly uniform k distinct indices from [0, n) in O(k^2) compute,
-    INDEPENDENT of n.
-
-    ``jax.random.choice(replace=False)`` materializes a full n-permutation
-    (an n-key sort) per call; inside the per-step batch sampler that made
-    step time scale linearly with the resident dataset size (20k rows
-    tripled the rir step, BASELINE.md round 3). This is the first k steps of
-    Fisher-Yates on a VIRTUAL arange(n): the at-most-k touched entries live
-    in a small table, each lookup is a vectorized scan over it. ``n`` may be
-    traced; ``k`` is static.
-    """
-    k = int(k)
-    sentinel = jnp.int32(-1)
-
-    def lookup(pos_tab, val_tab, x):
-        # value of virtual a[x]: the LATEST table entry writing position x,
-        # else x itself. Entries are appended in iteration order, so the
-        # highest matching slot wins.
-        matches = pos_tab == x
-        any_match = jnp.any(matches)
-        idx = jnp.where(matches, jnp.arange(k), -1).max()
-        return jnp.where(any_match, val_tab[jnp.maximum(idx, 0)], x)
-
-    def body(carry, i):
-        key, pos_tab, val_tab = carry
-        key, sub = jax.random.split(key)
-        j = jax.random.randint(sub, (), 0, n - i) + i  # j ~ U[i, n)
-        out = lookup(pos_tab, val_tab, j)
-        # a[j] <- (virtual) a[i]; a[i] is never read again (future j >= i+1)
-        a_i = lookup(pos_tab, val_tab, i)
-        pos_tab = pos_tab.at[i].set(j)
-        val_tab = val_tab.at[i].set(a_i)
-        return (key, pos_tab, val_tab), out
-
-    # Inside a shard_map (the stratified per-shard sampler) the key is
-    # VARYING over the manual mesh axes while fresh constants are not; the
-    # scan requires carry in/out varying-ness to match, so taint the init
-    # tables with a zero derived from the key.
-    key, k_taint = jax.random.split(key)
-    taint = (jax.random.randint(k_taint, (), 0, 1) * 0).astype(jnp.int32)
-    init = (key, jnp.full((k,), sentinel) + taint, jnp.full((k,), sentinel) + taint)
-    _, out = jax.lax.scan(body, init, jnp.arange(k))
-    return out
 
 
 class TrainState(struct.PyTreeNode):
