@@ -355,3 +355,28 @@ def test_rir_bank_3d_t60_axis():
         D.synthesize_batch(
             jax.random.PRNGKey(5), 2, cfg, rir_bank=bank, rt60_range=(0.2, 0.6)
         )
+
+
+# ------------------------------------------------------------ batch sampler
+
+
+def test_sample_without_replacement_uniform():
+    """The O(k^2) virtual Fisher-Yates sampler: distinct in-range indices,
+    and exactly uniform over subsets (chi-square-loose over n=6, k=3)."""
+    from collections import Counter
+
+    from acoustic_locating_vq_vae_tpu.data.dataset import sample_without_replacement
+
+    for seed in range(10):
+        out = np.asarray(sample_without_replacement(jax.random.PRNGKey(seed), 1000, 32))
+        assert len(set(out.tolist())) == 32
+        assert out.min() >= 0 and out.max() < 1000
+
+    f = jax.jit(lambda k: sample_without_replacement(k, 6, 3))
+    cnt = Counter(
+        tuple(sorted(np.asarray(f(jax.random.PRNGKey(s))).tolist()))
+        for s in range(3000)
+    )
+    assert len(cnt) == 20  # all C(6,3) subsets occur
+    exp = 3000 / 20
+    assert max(abs(v - exp) for v in cnt.values()) / exp < 0.3, cnt
