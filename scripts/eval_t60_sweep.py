@@ -1,0 +1,96 @@
+"""Evaluate a trained localizer across a grid of reverberation times.
+
+Domain-shift / domain-randomization study tool (VALIDATION.md rounds 2-3):
+for each T60 on the grid it synthesizes a fresh held-out set at EXACTLY that
+reverberation time (full image-source synthesis — not the training-time RIR
+bank, so off-grid generalization is actually exercised) and reports the
+joint (or frozen) localizer's angle/coordinate errors. The reference has no
+counterpart (its generator pins T60=0.4, genereate_dataset.py:60, and its
+evaluation never varies conditions).
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+
+from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument(
+        "--t60-grid", type=float, nargs="+", default=[0.2, 0.3, 0.4, 0.5, 0.6],
+        help="reverberation times to evaluate at (exact synthesis per value)",
+    )
+    p.add_argument("--n", type=int, default=200, help="held-out samples per condition")
+    p.add_argument(
+        "--model", choices=["auto", "joint", "frozen"], default="auto",
+        help="joint fine-tuned stage, frozen location head, or auto",
+    )
+    args = p.parse_args()
+    args.val_size = 0  # conditions are synthesized per-T60 below
+    args.dataset_size = 1
+    config, mesh, _, _ = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu import data as D
+    from acoustic_locating_vq_vae_tpu.eval import (
+        evaluate_joint_location,
+        evaluate_location,
+    )
+    from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    store = StageStore(args.store_dir)
+    use_joint = args.model == "joint" or (
+        args.model == "auto" and store.has_stage("location_joint")
+    )
+
+    kw = task_kwargs(args, config, location=True)
+    if use_joint:
+        params = store.load_stage("location_joint")["params"]
+        kw.pop("input_mode", None)
+        apply_stage_eval_config(
+            kw, store, "location_joint", head_params=params["head"],
+            keys=("compat_vq_flatten", "target_mode"), flatten_default="vectors",
+        )
+        task = JointLocationTask(**kw)
+    else:
+        params = store.load_stage("location")["params"]
+        composite_stage = "finetune" if store.has_stage("finetune") else "echoed"
+        composite_params = store.load_stage(composite_stage)["params"]
+        apply_stage_eval_config(kw, store, "location", head_params=params)
+        task = LocationTask(**kw)
+
+    results = {}
+    n = 4 if args.smoke else args.n
+    for i, t60 in enumerate(args.t60_grid):
+        cfg = dataclasses.replace(config, reverberation_time=float(t60))
+        cond_task = dataclasses.replace(task, config=cfg)
+        batch = D.make_dataset(
+            jax.random.PRNGKey(args.seed + 1000 + i), n, cfg, batch=min(n, 50)
+        )
+        if use_joint:
+            m = evaluate_joint_location(cond_task, params, batch)
+        else:
+            m = evaluate_location(cond_task, params, composite_params, batch)
+        results[f"{t60:g}"] = m
+        print(f"T60={t60:g}: {json.dumps(m)}", flush=True)
+
+    rmses = [m["rmse_radians"] for m in results.values()]
+    print(
+        json.dumps(
+            {
+                "model": "joint" if use_joint else "frozen",
+                "t60_grid": [float(t) for t in args.t60_grid],
+                "rmse_radians_min": min(rmses),
+                "rmse_radians_max": max(rmses),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
