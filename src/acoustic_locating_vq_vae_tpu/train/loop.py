@@ -123,7 +123,13 @@ class Trainer:
         fixed_rir / fixed_speech / rir_chunk to the synthesizer."""
         self.task = task
         self.on_the_fly = on_the_fly
-        self.synth_kwargs = synth_kwargs or {}
+        self.synth_kwargs = dict(synth_kwargs or {})
+        # The RIR bank is a large device array; as a CLOSURE constant the
+        # remote-compile path would serialize it into every stage's lowered
+        # step module (a multi-minute upload through this environment's
+        # tunnel per compile). Thread it as a step ARGUMENT instead — device
+        # buffers ride by handle.
+        self._rir_bank = self.synth_kwargs.pop("rir_bank", None)
         # Frozen-latent cache: for stages whose loss re-runs FROZEN encoder
         # stacks on constant data every step (echoed: both branch encoders,
         # train_echoed_speech.py:89; location: the whole composite,
@@ -351,16 +357,23 @@ class Trainer:
             )
 
         def step(state: TrainState, data: SampleBatch, dataset_size: int, is_train: bool):
-            # ``data`` is either a SampleBatch or (SampleBatch, frozen-latent
-            # cache); the cache rows are co-sampled with their batch rows.
-            has_cache = isinstance(data, tuple)
+            # ``data`` is a SampleBatch, (SampleBatch, frozen-latent cache
+            # DICT) — cache rows co-sampled with their batch rows — or
+            # (stub SampleBatch, RIR-bank ARRAY) in bank-OTF mode.
+            is_tuple = isinstance(data, tuple)
+            has_cache = is_tuple and isinstance(data[1], dict)
+            otf_bank = data[1] if (is_tuple and not has_cache) else None
             rng, k_sample, k_jitter = jax.random.split(state.rng, 3)
             cache_b = None
             if is_train and self.on_the_fly:
                 from ..data.synth import synthesize_batch
 
+                # OTF with a RIR bank: the bank rides in the operand tuple
+                # (see __init__ on why it must be an argument, not a closure).
+                bank_kw = {"rir_bank": otf_bank} if otf_bank is not None else {}
                 batch = synthesize_batch(
-                    k_sample, batch_size, self.task.config, **self.synth_kwargs
+                    k_sample, batch_size, self.task.config,
+                    **self.synth_kwargs, **bank_kw,
                 )
                 batch = jax.tree_util.tree_map(
                     lambda a: jax.lax.with_sharding_constraint(
@@ -495,6 +508,10 @@ class Trainer:
                     f"[{self.task.name}] frozen-latent cache built ({'+'.join(built)})",
                     flush=True,
                 )
+        if self.on_the_fly and self._rir_bank is not None:
+            train_op = (
+                train_data, jax.device_put(self._rir_bank, replicated(self.mesh))
+            )
 
         history = TrainHistory()
         t0 = time.time()
