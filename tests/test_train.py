@@ -70,7 +70,10 @@ def test_data_parallel_mesh_runs(datasets):
 
 
 def test_model_parallel_mesh_runs(datasets):
-    """2-D (data x model) mesh: large kernels sharded per sharding_rules."""
+    """2-D (data x model) mesh: large kernels sharded per sharding_rules.
+    (Smoke only — the NUMERIC verification lives in
+    tests/test_dp_collectives.py::test_model_parallel_step_matches_replicated
+    and the model-axis HLO audit next to it.)"""
     train, val = datasets
     mesh = make_mesh(data=4, model=2)
     # width 1/2 keeps K=512, H=512 — divisible by the model axis.
