@@ -123,6 +123,10 @@ def evaluate_location(
             "mse_theta_over_pi": float(np.mean((ang / np.pi) ** 2)),
             "rmse_theta_over_pi": float(np.sqrt(np.mean((ang / np.pi) ** 2))),
             "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+            # RMSE is heavy-tail sensitive (one 1.4-rad confusion in 200
+            # samples reads as 0.1 rad); report robust companions.
+            "median_abs_radians": float(np.median(np.abs(ang))),
+            "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
             "rmse_coordinates_m": float(
                 np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
             ),
@@ -144,6 +148,8 @@ def evaluate_location(
             "mse_theta_over_pi": float(np.mean(err_norm**2)),
             "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm**2))),
             "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+            "median_abs_radians": float(np.median(np.abs(ang))),
+            "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
             "rmse_coordinates_m": float(
                 np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
             ),
@@ -200,6 +206,8 @@ def evaluate_joint_location(task, params: Any, batch: SampleBatch, batch_size: i
         "mse_theta_over_pi": float(np.mean(err_norm_sq)),
         "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm_sq))),
         "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+        "median_abs_radians": float(np.median(np.abs(ang))),
+        "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
         "rmse_coordinates_m": float(
             np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
         ),
