@@ -79,12 +79,14 @@ def test_cached_echoed_training_is_bit_equivalent(datasets, compat_flatten):
                 got[split][k], ref[split][k], rtol=3e-3, atol=1e-5,
                 err_msg=f"{split}/{k} diverged under caching",
             )
-    # trained decoder params match too (atol covers STE-rounding drift
-    # amplified through 20 Adam steps on near-zero params)
+    # trained decoder params match too (tolerance covers STE-rounding drift
+    # amplified through 20 Adam steps; the drift magnitude is trajectory-
+    # dependent — changing the batch sampler moves which elements land near
+    # the bound, so this is deliberately looser than the metric check above)
     a = jax.device_get(st_ref.params["_decoder"])
     b = jax.device_get(st_got.params["_decoder"])
     jax.tree_util.tree_map(
-        lambda x, y: np.testing.assert_allclose(x, y, rtol=3e-3, atol=1e-4), a, b
+        lambda x, y: np.testing.assert_allclose(x, y, rtol=1e-2, atol=2e-4), a, b
     )
 
 
