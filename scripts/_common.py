@@ -30,6 +30,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=1, help="model-parallel axis size")
     p.add_argument("--mesh-seq", type=int, default=1, help="sequence-parallel axis size (time sharding)")
     p.add_argument(
+        "--mesh-slices", type=int, default=1,
+        help="multi-slice (DCN) topologies: group devices slice-major so "
+        "the data axis crosses DCN only at slice boundaries and model/seq "
+        "collectives stay on ICI (make_mesh(slices=))",
+    )
+    p.add_argument(
         "--sequence-parallel", action="store_true",
         help="shard the time axis over the 'seq' mesh axis (implies the "
         "fixed channels-last VQ flatten); speech, echoed, and finetune "
@@ -161,6 +167,8 @@ def setup(args, resident_fields=None):
     # Multi-axis meshes on a forced-CPU run need virtual devices (the same
     # trick as tests/conftest.py / __graft_entry__).
     need = max(1, args.mesh_data) * args.mesh_model * getattr(args, "mesh_seq", 1)
+    # a multi-slice layout needs at least one device per slice
+    need = max(need, getattr(args, "mesh_slices", 1))
     if args.platform == "cpu" and need > 1:
         try:
             jax.config.update("jax_num_cpu_devices", max(need, 8))
@@ -192,7 +200,11 @@ def setup(args, resident_fields=None):
     else:
         config = D.DatasetConfig()
 
-    mesh = make_mesh(data=args.mesh_data, model=args.mesh_model, seq=getattr(args, "mesh_seq", 1))
+    mesh = make_mesh(
+        data=args.mesh_data, model=args.mesh_model,
+        seq=getattr(args, "mesh_seq", 1),
+        slices=getattr(args, "mesh_slices", 1),
+    )
 
     key = jax.random.PRNGKey(args.seed)
     k_train, k_val = jax.random.split(key)

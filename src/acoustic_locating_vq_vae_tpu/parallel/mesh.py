@@ -20,7 +20,12 @@ __all__ = [
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, seq: int = 1, devices: Optional[Sequence] = None
+    data: int = -1,
+    model: int = 1,
+    seq: int = 1,
+    devices: Optional[Sequence] = None,
+    slices: int = 1,
+    slice_map=None,
 ) -> Mesh:
     """A (data, model, seq) mesh. ``data=-1`` uses all remaining devices.
 
@@ -29,9 +34,51 @@ def make_mesh(
     ``seq`` shards the TIME dimension of activations for long-sequence
     training (halo exchanges ride ICI — SURVEY.md §5.7). The seq axis is
     size 1 unless requested, so 2-D callers are unaffected.
+
+    Multi-slice (DCN) topologies — SURVEY.md §5.8's "×DCN later" — need no
+    fourth axis name: pure data parallelism over slices is expressed by
+    device ORDER. With ``slices=N`` the devices are grouped slice-major
+    (``d.slice_index`` when the runtime exposes it, contiguous chunks
+    otherwise, or an explicit ``slice_map``: device → slice id) before the
+    (data, model, seq) reshape. Because ``data`` is the mesh's outermost
+    dimension, each slice then owns a contiguous block of data rows while
+    every model/seq group lies WITHIN one slice — so the gradient ``psum``
+    over "data" lowers hierarchically (in-slice reduce over ICI + one
+    cross-slice exchange over DCN) and the latency-sensitive model/seq
+    collectives (halo exchange, codebook all-gather) never touch DCN. A
+    layout where model or seq would straddle a slice boundary is rejected.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if slices > 1:
+        if n % slices:
+            raise ValueError(f"{n} devices not divisible into {slices} slices")
+        per_slice = n // slices
+        if slice_map is None:
+            idx = getattr(devices[0], "slice_index", None)
+            if idx is not None:
+                slice_map = {d: d.slice_index for d in devices}
+            else:
+                # no topology info (virtual/CPU devices): contiguous chunks
+                slice_map = {d: i // per_slice for i, d in enumerate(devices)}
+        elif callable(slice_map):
+            slice_map = {d: slice_map(d) for d in devices}
+        groups: dict = {}
+        for d in devices:
+            groups.setdefault(slice_map[d], []).append(d)
+        sizes = {s: len(g) for s, g in groups.items()}
+        if len(groups) != slices or any(v != per_slice for v in sizes.values()):
+            raise ValueError(
+                f"slice assignment {sizes} does not form {slices} equal "
+                f"slices of {per_slice}"
+            )
+        if per_slice % (model * seq):
+            raise ValueError(
+                f"model*seq={model * seq} does not divide the {per_slice} "
+                f"devices per slice — the model/seq axes would straddle a "
+                f"DCN boundary; shrink them to fit within one slice"
+            )
+        devices = [d for s in sorted(groups) for d in groups[s]]
     if data == -1:
         if n % (model * seq):
             raise ValueError(f"{n} devices not divisible by model*seq={model * seq}")
