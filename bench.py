@@ -157,4 +157,29 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_ATTEMPT"):
+        main()
+    else:
+        # The TPU tunnel intermittently drops dispatches (observed:
+        # UNAVAILABLE broken pipe, INVALID_ARGUMENT / FAILED_PRECONDITION
+        # backend errors that clear within minutes). A wedged backend is
+        # process-sticky, so retry in a FRESH subprocess; the JSON line of
+        # the successful attempt passes through on stdout.
+        import subprocess
+
+        ret = 1
+        for attempt in range(3):
+            ret = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, BENCH_ATTEMPT=str(attempt + 1)),
+            ).returncode
+            if ret == 0:
+                break
+            if attempt < 2:
+                print(
+                    f"bench attempt {attempt + 1} failed (transient tunnel "
+                    "error?); retrying in 90s",
+                    file=sys.stderr,
+                )
+                time.sleep(90)
+        sys.exit(ret)
