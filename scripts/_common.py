@@ -107,6 +107,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "genereate_dataset.py:60)",
     )
     p.add_argument(
+        "--radius-range", type=float, nargs=2, default=None, metavar=("LO", "HI"),
+        help="per-sample source-radius geometry augmentation: R ~ U(LO, HI) "
+        "meters around the receiver instead of the config's fixed R=1 "
+        "(genereate_dataset.py:17); labels stay angular. Excludes --rir-bank",
+    )
+    p.add_argument(
         "--dataset-bf16", action="store_true",
         help="store synthesized dataset spectra in bfloat16 (half the HBM; "
         "decompressed to f32 per sampled batch) — for 20k-scale sets",
@@ -242,6 +248,8 @@ def setup(args, resident_fields=None):
     synth_kw = {}
     if getattr(args, "rt60_range", None):
         synth_kw["rt60_range"] = tuple(args.rt60_range)
+    if getattr(args, "radius_range", None):
+        synth_kw["radius_range"] = tuple(args.radius_range)
     if getattr(args, "rir_bank", 0):
         n_theta = args.rir_bank
         rt60s = None
@@ -363,8 +371,12 @@ def trainer_kwargs(args):
         cache_frozen=getattr(args, "cache_frozen", False),
     )
     synth_kw = getattr(args, "_synth_kwargs", None)
-    if synth_kw is None and getattr(args, "rt60_range", None):
-        synth_kw = {"rt60_range": tuple(args.rt60_range)}
+    if synth_kw is None:
+        synth_kw = {}
+        if getattr(args, "rt60_range", None):
+            synth_kw["rt60_range"] = tuple(args.rt60_range)
+        if getattr(args, "radius_range", None):
+            synth_kw["radius_range"] = tuple(args.radius_range)
     if synth_kw:
         kw["synth_kwargs"] = synth_kw
     return kw

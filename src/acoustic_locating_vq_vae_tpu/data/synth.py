@@ -119,7 +119,8 @@ def make_rir_bank(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk", "rt60_range"
+        "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk",
+        "rt60_range", "radius_range",
     ),
 )
 def synthesize_batch(
@@ -132,6 +133,7 @@ def synthesize_batch(
     rir_chunk: int = 8192,
     rt60_range: Optional[tuple] = None,
     rir_bank: Optional[jnp.ndarray] = None,
+    radius_range: Optional[tuple] = None,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -148,6 +150,14 @@ def synthesize_batch(
     (dsp.rir.beta_from_rt60_traced), so the whole randomized batch stays one
     compiled program.
 
+    ``radius_range``: optional (lo, hi) tuple — per-sample source radius
+    R ~ U(lo, hi) around the receiver instead of the config's fixed
+    ``config.R`` (geometry augmentation: the reference pins R=1 m,
+    genereate_dataset.py:17; labels stay angular, so this trains angle
+    estimation that is robust to range). Positions remain in-room (clipped
+    by :func:`..dsp.specs.source_coordinates`), so the static image culling
+    stays exact. Exclusive with ``rir_bank`` (banks are built at fixed R).
+
     ``rir_bank``: optional precomputed bank from :func:`make_rir_bank` —
     (n_theta, n_sample) or (n_t60, n_theta, n_sample). Angles are then drawn
     uniformly on the bank's grid (labels exactly match the gathered RIR;
@@ -159,6 +169,11 @@ def synthesize_batch(
         raise ValueError(
             "rir_bank excludes rt60_range: use a 3-D bank (make_rir_bank "
             "rt60s=...) for reverberation randomization"
+        )
+    if rir_bank is not None and radius_range is not None:
+        raise ValueError(
+            "rir_bank excludes radius_range: the bank's RIRs are "
+            "precomputed at the config's fixed source radius"
         )
     if rir_bank is not None and rir_bank.shape[-1] != config.n_sample:
         raise ValueError(
@@ -180,7 +195,17 @@ def synthesize_batch(
 
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
-    src = source_coordinates(theta, receiver, room, radius=config.R, z_loc=config.Z_LOC_SOURCE)
+    radius = config.R
+    if radius_range is not None:
+        # fold_in (not a wider split) keeps the theta/speech/rt60 streams
+        # identical to a radius_range=None run with the same key
+        radius = jax.random.uniform(
+            jax.random.fold_in(key, 7), (batch,),
+            minval=float(radius_range[0]), maxval=float(radius_range[1]),
+        )
+        if fixed_rir:
+            radius = jnp.broadcast_to(radius[:1], radius.shape)
+    src = source_coordinates(theta, receiver, room, radius=radius, z_loc=config.Z_LOC_SOURCE)
 
     if speech is None:
         speech = synthetic_speech_batch(k_speech, batch, config.audio_samples, config.fs)

@@ -283,6 +283,39 @@ def test_synthesize_batch_rt60_range():
     )
 
 
+def test_synthesize_batch_radius_range():
+    """Per-sample source radius R ~ U(lo, hi): a degenerate range at the
+    config's R reproduces the fixed batch EXACTLY (the radius key is folded
+    in, so the theta/speech/rt60 streams don't move), and a wide range
+    changes the echoed spectra while labels stay the fixed angles."""
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    key = jax.random.PRNGKey(43)
+    fixed = D.synthesize_batch(key, 4, cfg, rir_chunk=2048)
+    degen = D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(cfg.R, cfg.R))
+    np.testing.assert_array_equal(np.asarray(fixed.theta), np.asarray(degen.theta))
+    np.testing.assert_array_equal(
+        np.asarray(fixed.speech_spec), np.asarray(degen.speech_spec)
+    )
+    np.testing.assert_allclose(
+        np.asarray(fixed.echoed_spec), np.asarray(degen.echoed_spec),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    wide = D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(0.6, 1.4))
+    np.testing.assert_array_equal(np.asarray(wide.theta), np.asarray(fixed.theta))
+    for leaf in jax.tree_util.tree_leaves(wide):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert not np.allclose(
+        np.asarray(wide.echoed_spec), np.asarray(fixed.echoed_spec), rtol=1e-2
+    )
+
+    with pytest.raises(ValueError, match="radius_range"):
+        D.synthesize_batch(
+            key, 4, cfg, rir_chunk=2048,
+            rir_bank=jnp.zeros((8, cfg.n_sample)), radius_range=(0.6, 1.4),
+        )
+
+
 # ------------------------------------------------------------------ RIR bank
 
 
