@@ -250,7 +250,15 @@ def setup(args, resident_fields=None):
         synth_kw["rt60_range"] = tuple(args.rt60_range)
     if getattr(args, "radius_range", None):
         synth_kw["radius_range"] = tuple(args.radius_range)
-    if getattr(args, "rir_bank", 0):
+    if getattr(args, "rir_bank", 0) and not (
+        synth_train or synth_val or getattr(args, "on_the_fly", False)
+    ):
+        print(
+            "--rir-bank ignored: dataset comes from --data-dir/--val-dir and "
+            "--on-the-fly is off, so nothing synthesizes from the bank",
+            flush=True,
+        )
+    elif getattr(args, "rir_bank", 0):
         n_theta = args.rir_bank
         rt60s = None
         if getattr(args, "rt60_range", None):
@@ -267,6 +275,7 @@ def setup(args, resident_fields=None):
         )
         synth_kw["rir_bank"] = D.make_rir_bank(config, n_theta=n_theta, rt60s=rt60s)
     args._synth_kwargs = dict(synth_kw)  # for trainer_kwargs (--on-the-fly)
+    args._speech_pool = pool  # for scripts that synthesize their own conditions
     store_kw = {}
     if getattr(args, "dataset_bf16", False):
         import jax.numpy as jnp
@@ -377,6 +386,10 @@ def trainer_kwargs(args):
             synth_kw["rt60_range"] = tuple(args.rt60_range)
         if getattr(args, "radius_range", None):
             synth_kw["radius_range"] = tuple(args.radius_range)
+    if not kw["on_the_fly"]:
+        # The Trainer only synthesizes on the OTF path; forwarding the RIR
+        # bank here would merely pin its ~100 MB in HBM for the whole stage.
+        synth_kw = {k: v for k, v in synth_kw.items() if k != "rir_bank"}
     if synth_kw:
         kw["synth_kwargs"] = synth_kw
     return kw

@@ -19,7 +19,11 @@ def main():
 
     import jax
 
-    from acoustic_locating_vq_vae_tpu.train import EncoderFinetuneTask, Trainer
+    from acoustic_locating_vq_vae_tpu.train import (
+        EncoderFinetuneTask,
+        Trainer,
+        check_flatten_handoff,
+    )
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
     store = StageStore(args.store_dir)
@@ -30,6 +34,7 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 4), train)
 
     if store.has_stage("echoed"):
+        check_flatten_handoff(store.stage_metadata("echoed"), task, "echoed")
         params = store.load_stage("echoed")["params"]
         state = state.replace(params=params, opt_state=trainer.optimizer.init(params))
     else:

@@ -25,6 +25,12 @@ def main():
     )
     p.add_argument("--n", type=int, default=200, help="held-out samples per condition")
     p.add_argument(
+        "--radius-grid", type=float, nargs="+", default=None,
+        help="source radii to cross with the T60 grid (default: the config's "
+        "fixed R; each condition synthesizes sources at exactly that radius — "
+        "the geometry-shift companion to the T60 sweep)",
+    )
+    p.add_argument(
         "--model", choices=["auto", "joint", "frozen"], default="auto",
         help="joint fine-tuned stage, frozen location head, or auto",
     )
@@ -66,18 +72,25 @@ def main():
 
     results = {}
     n = 4 if args.smoke else args.n
-    for i, t60 in enumerate(args.t60_grid):
-        cfg = dataclasses.replace(config, reverberation_time=float(t60))
+    radius_grid = args.radius_grid or [config.R]
+    conditions = [(t, r) for t in args.t60_grid for r in radius_grid]
+    for i, (t60, radius) in enumerate(conditions):
+        cfg = dataclasses.replace(
+            config, reverberation_time=float(t60), R=float(radius)
+        )
         cond_task = dataclasses.replace(task, config=cfg)
         batch = D.make_dataset(
-            jax.random.PRNGKey(args.seed + 1000 + i), n, cfg, batch=min(n, 50)
+            jax.random.PRNGKey(args.seed + 1000 + i), n, cfg, batch=min(n, 50),
+            speech_pool=getattr(args, "_speech_pool", None),
         )
         if use_joint:
             m = evaluate_joint_location(cond_task, params, batch)
         else:
             m = evaluate_location(cond_task, params, composite_params, batch)
-        results[f"{t60:g}"] = m
-        print(f"T60={t60:g}: {json.dumps(m)}", flush=True)
+        label = f"{t60:g}" if args.radius_grid is None else f"t60={t60:g},R={radius:g}"
+        results[label] = m
+        print(f"{label if args.radius_grid else f'T60={label}'}: "
+              f"{json.dumps(m)}", flush=True)
 
     rmses = [m["rmse_radians"] for m in results.values()]
     print(
@@ -85,6 +98,7 @@ def main():
             {
                 "model": "joint" if use_joint else "frozen",
                 "t60_grid": [float(t) for t in args.t60_grid],
+                "radius_grid": [float(r) for r in radius_grid],
                 "rmse_radians_min": min(rmses),
                 "rmse_radians_max": max(rmses),
             }

@@ -14,7 +14,12 @@ def main():
 
     import jax
 
-    from acoustic_locating_vq_vae_tpu.train import EchoedSpeechTask, Trainer, graft_pretrained
+    from acoustic_locating_vq_vae_tpu.train import (
+        EchoedSpeechTask,
+        Trainer,
+        check_flatten_handoff,
+        graft_pretrained,
+    )
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
     store = StageStore(args.store_dir)
@@ -26,6 +31,9 @@ def main():
     rir_p = store.load_stage("rir")["params"] if store.has_stage("rir") else None
     if speech_p is None or rir_p is None:
         print("WARNING: missing pretrained speech/rir stage in store; using fresh init")
+    for donor, params in (("speech", speech_p), ("rir", rir_p)):
+        if params is not None:
+            check_flatten_handoff(store.stage_metadata(donor), task, donor)
     grafted = graft_pretrained(state.params, speech_params=speech_p, rir_params=rir_p)
     state = state.replace(params=grafted, opt_state=trainer.optimizer.init(grafted))
 

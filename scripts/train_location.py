@@ -34,12 +34,15 @@ def main():
     composite_params = store.load_stage(stage)["params"]
     print(f"using composite from stage {stage!r}")
 
+    from acoustic_locating_vq_vae_tpu.train import check_flatten_handoff
+
     if args.joint:
         from acoustic_locating_vq_vae_tpu.train import JointLocationTask
 
         kw = task_kwargs(args, config, location=True)
         kw.pop("input_mode", None)  # joint always uses dense latents
         task = JointLocationTask(**kw, commitment_weight=args.commitment_weight)
+        check_flatten_handoff(store.stage_metadata(stage), task, stage)
         trainer = Trainer(
             task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args)
         )
@@ -48,6 +51,7 @@ def main():
         state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
     else:
         task = LocationTask(**task_kwargs(args, config, location=True))
+        check_flatten_handoff(store.stage_metadata(stage), task, stage)
         trainer = Trainer(
             task, mesh=mesh, checkpoint_dir=args.store_dir,
             composite_params=composite_params, **trainer_kwargs(args),

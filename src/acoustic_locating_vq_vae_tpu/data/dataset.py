@@ -50,6 +50,14 @@ def sample_without_replacement(key: jax.Array, n, k: int) -> jnp.ndarray:
     traced; ``k`` is static.
     """
     k = int(k)
+    # Population guard (jax.random.choice(replace=False) raised here; the
+    # virtual Fisher-Yates would instead silently produce duplicate/garbage
+    # indices from the empty U[i, n) draws). Only checkable when n is
+    # concrete — shard_map/jit tracers defer to the caller.
+    if not isinstance(n, jax.core.Tracer) and k > int(n):
+        raise ValueError(
+            f"cannot sample {k} distinct indices from a population of {int(n)}"
+        )
     sentinel = jnp.int32(-1)
 
     def lookup(pos_tab, val_tab, x):
@@ -243,20 +251,20 @@ class HostStagedDataset:
         if chunk_size <= 0:
             raise ValueError(f"chunk_size must be positive, got {chunk_size}")
         self.chunk_size = min(chunk_size, self.size)
-        if self.size % self.chunk_size:
-            # keep every chunk the same (jit-stable) size; the tail rows
-            # fold into the final chunk's window by sliding it back
-            self._tail_ok = True
         self.num_chunks = -(-self.size // self.chunk_size)
         self.rotate_every = rotate_every
 
     def chunk(self, i: int) -> SampleBatch:
-        """The i-th (cyclic) chunk as device arrays; the last window slides
-        back so every chunk has exactly ``chunk_size`` rows."""
+        """The i-th (cyclic) chunk as HOST numpy views (zero-copy slices; a
+        short tail window slides back so every chunk has exactly
+        ``chunk_size`` jit-stable rows). The Trainer device_puts the result
+        straight to the sharded batch layout — committing it to the default
+        device here would stage a full extra chunk copy in one chip's HBM on
+        every rotation/prefetch."""
         lo = (i % self.num_chunks) * self.chunk_size
         lo = min(lo, self.size - self.chunk_size)
         return jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a[lo : lo + self.chunk_size]), self.arrays
+            lambda a: a[lo : lo + self.chunk_size], self.arrays
         )
 
 
@@ -276,13 +284,23 @@ def make_host_dataset(
     ``store_dtype`` / ``rir_bank`` / ``speech_pool``."""
     from .synth import make_dataset
 
-    parts = []
+    host = None
     done = 0
     while done < size:
         key, sub = jax.random.split(key)
         n = min(chunk_size, size - done)
         part = make_dataset(sub, n, config, batch=batch, **kwargs)
-        parts.append(jax.tree_util.tree_map(lambda a: np.asarray(jax.device_get(a)), part))
+        part = jax.tree_util.tree_map(lambda a: np.asarray(jax.device_get(a)), part)
+        if host is None:
+            # Preallocate the full host tree and write each part into its
+            # slice — accumulating parts and np.concatenate'ing at the end
+            # would double peak host RAM (~48 GB transient at the 20k scale
+            # this function exists for).
+            host = jax.tree_util.tree_map(
+                lambda a: np.empty((size,) + a.shape[1:], a.dtype), part
+            )
+        jax.tree_util.tree_map(
+            lambda dst, src: dst.__setitem__(slice(done, done + n), src), host, part
+        )
         done += n
-    host = jax.tree_util.tree_map(lambda *xs: np.concatenate(xs, axis=0), *parts)
     return HostStagedDataset(host, chunk_size=chunk_size, rotate_every=rotate_every)

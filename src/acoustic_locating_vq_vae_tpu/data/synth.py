@@ -154,9 +154,13 @@ def synthesize_batch(
     R ~ U(lo, hi) around the receiver instead of the config's fixed
     ``config.R`` (geometry augmentation: the reference pins R=1 m,
     genereate_dataset.py:17; labels stay angular, so this trains angle
-    estimation that is robust to range). Positions remain in-room (clipped
-    by :func:`..dsp.specs.source_coordinates`), so the static image culling
-    stays exact. Exclusive with ``rir_bank`` (banks are built at fixed R).
+    estimation that is robust to range). ``hi`` must keep the whole source
+    circle inside the room (validated against the receiver's xy wall
+    margins — :func:`..dsp.specs.source_coordinates` clips only at the
+    upper walls, reference quirk, so an oversized radius would otherwise
+    silently place sources outside and invalidate the image-source
+    geometry and the static image culling). Exclusive with ``rir_bank``
+    (banks are built at fixed R).
 
     ``rir_bank``: optional precomputed bank from :func:`make_rir_bank` —
     (n_theta, n_sample) or (n_t60, n_theta, n_sample). Angles are then drawn
@@ -175,6 +179,22 @@ def synthesize_batch(
             "rir_bank excludes radius_range: the bank's RIRs are "
             "precomputed at the config's fixed source radius"
         )
+    if radius_range is not None:
+        lo, hi = float(radius_range[0]), float(radius_range[1])
+        rx, ry = config.receiver_position[0], config.receiver_position[1]
+        lx, ly = config.room_dimensions[0], config.room_dimensions[1]
+        max_r = min(rx, lx - rx, ry, ly - ry)
+        if not 0.0 < lo <= hi:
+            raise ValueError(f"radius_range must satisfy 0 < lo <= hi, got {radius_range}")
+        if hi >= max_r:
+            raise ValueError(
+                f"radius_range hi {hi} >= max in-room source radius {max_r} "
+                f"(receiver {config.receiver_position[:2]} in room "
+                f"{config.room_dimensions[:2]}): sources would leave the room "
+                "— source_coordinates clips only at the upper walls, so the "
+                "image-source geometry and static image culling would be "
+                "silently wrong"
+            )
     if rir_bank is not None and rir_bank.shape[-1] != config.n_sample:
         raise ValueError(
             f"rir_bank n_sample {rir_bank.shape[-1]} != config.n_sample "

@@ -83,11 +83,29 @@ def make_mesh(
         if n % (model * seq):
             raise ValueError(f"{n} devices not divisible by model*seq={model * seq}")
         data = n // (model * seq)
-    if data * model * seq > n:
+    total = data * model * seq
+    if total > n:
         raise ValueError(
-            f"mesh {data}x{model}x{seq} needs {data * model * seq} devices, have {n}"
+            f"mesh {data}x{model}x{seq} needs {total} devices, have {n}"
         )
-    arr = np.array(devices[: data * model * seq]).reshape(data, model, seq)
+    if slices > 1 and total < n:
+        # A plain prefix cut after the slice-major reorder would take every
+        # device from slice 0 — silently collapsing the requested multi-slice
+        # layout into a single slice. Take an equal prefix from EACH slice so
+        # the slice-major/data-outermost guarantees keep holding.
+        if data % slices:
+            raise ValueError(
+                f"data={data} not divisible by slices={slices}: each slice "
+                f"must own an equal contiguous block of data rows (use "
+                f"data=-1 or a multiple of {slices})"
+            )
+        per_slice = n // slices
+        take = total // slices
+        devices = [
+            d for s in range(slices)
+            for d in devices[s * per_slice : s * per_slice + take]
+        ]
+    arr = np.array(devices[:total]).reshape(data, model, seq)
     return Mesh(arr, axis_names=("data", "model", "seq"))
 
 

@@ -11,8 +11,10 @@ from .tasks import (
     RirVQVAETask,
     SpeechVQVAETask,
     Task,
+    check_flatten_handoff,
     graft_pretrained,
     make_task,
+    resolved_vq_flatten,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "RirVQVAETask",
     "SpeechVQVAETask",
     "Task",
+    "check_flatten_handoff",
     "graft_pretrained",
     "make_task",
+    "resolved_vq_flatten",
 ]

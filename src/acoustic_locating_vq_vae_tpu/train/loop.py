@@ -643,13 +643,20 @@ class Trainer:
         bit-constant under any optax transform that maps zero grads to zero
         updates (Adam does)."""
         task = self.task
+        # Decompress bf16-stored datasets to f32 INSIDE the jitted call,
+        # exactly like the training step does for sampled batches — encoding
+        # raw bf16 here would let VQ argmin assignments near code boundaries
+        # diverge from the uncached path.
+        dec = lambda b: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a, b
+        )
         if isinstance(task, LocationTask):
             fn = jax.jit(
-                lambda b: task.build_cache(self.composite, self.composite_params, b)
+                lambda b: task.build_cache(self.composite, self.composite_params, dec(b))
             )
             call = fn
         else:
-            fn = jax.jit(lambda b, p: task.build_cache(self.model, p, b))
+            fn = jax.jit(lambda b, p: task.build_cache(self.model, p, dec(b)))
             call = lambda b: fn(b, state.params)
         n = int(data.speech_spec.shape[0])
         chunk = min(n, max(int(self.task.batch_size), 8))

@@ -154,8 +154,23 @@ def run_pipeline(
         or None if the stage hasn't finished."""
         if store is None or not store.has_stage(name):
             return None
-        if not store.stage_metadata(name).get("final"):
+        meta = store.stage_metadata(name)
+        if not meta.get("final"):
             return None
+        # A resumed store may have been written under different flags. The
+        # VQ flatten mode is shape-invisible (identical param trees, different
+        # code semantics — vector_quantizer.py:32), so a mismatch would graft
+        # garbage into the downstream stages with no error; refuse instead.
+        if "compat_vq_flatten" in meta and bool(meta["compat_vq_flatten"]) != compat_vq_flatten:
+            names = {True: "compat", False: "vectors"}
+            raise ValueError(
+                f"resume: stage {name!r} in {store_dir!r} was trained with the "
+                f"{names[bool(meta['compat_vq_flatten'])]!r} VQ flatten but this "
+                f"pipeline resolves to {names[compat_vq_flatten]!r} — its codebook "
+                "codes mean different things and the handoff would silently "
+                "corrupt training. Re-run with the matching --vq-flatten/preset, "
+                "or point --store-dir at a fresh store."
+            )
         tree = store.load_stage(name)
         print(f"[pipeline] stage {name!r} complete in store — skipping", flush=True)
         return tree["params"], tree.get("variables") or {}

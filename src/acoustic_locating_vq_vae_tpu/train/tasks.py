@@ -575,6 +575,47 @@ def graft_pretrained(
     return p
 
 
+def resolved_vq_flatten(task) -> bool:
+    """The task's build_model compat/vectors VQ-flatten resolution as a bool
+    (True = the reference's memory-order compat flatten,
+    vector_quantizer.py:32). ``None`` resolves exactly like the model
+    builders: compat UNLESS sequence parallelism forces the position-local
+    vectors flatten."""
+    v = getattr(task, "compat_vq_flatten", None)
+    if v is None:
+        v = getattr(task, "sequence_axis", None) is None
+    return bool(v)
+
+
+def check_flatten_handoff(donor_meta: dict, task, donor_label: str) -> None:
+    """Guard a stage handoff against a VQ-flatten mode mismatch.
+
+    The two flatten modes produce IDENTICAL parameter shapes but different
+    code semantics (the compat mode quantizes memory-order time-chunks, the
+    vectors mode channel vectors — vector_quantizer.py:32), so grafting a
+    codebook trained in one mode into a composite resolved to the other
+    succeeds structurally and then trains on garbage latents with no error.
+    ``donor_meta`` is the donor stage's StageStore metadata; stores that
+    predate the metadata (no ``compat_vq_flatten`` key) skip the check — the
+    eval-side pre-metadata warning covers those.
+    """
+    if "compat_vq_flatten" not in donor_meta:
+        return
+    donor = bool(donor_meta["compat_vq_flatten"])
+    mine = resolved_vq_flatten(task)
+    if donor != mine:
+        names = {True: "compat", False: "vectors"}
+        raise ValueError(
+            f"VQ flatten mismatch: stage {donor_label!r} was trained with the "
+            f"{names[donor]!r} flatten but task {task.name!r} resolves to "
+            f"{names[mine]!r}. The codebooks are shape-compatible but their "
+            "codes mean different things, so the handoff would silently "
+            "corrupt training. Re-run this stage with --vq-flatten "
+            f"{names[donor]} (or retrain the donor with --vq-flatten "
+            f"{names[mine]})."
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class JointLocationTask(Task):
     """Joint location fine-tuning: RIR encoder + location head trained

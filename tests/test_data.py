@@ -316,6 +316,24 @@ def test_synthesize_batch_radius_range():
         )
 
 
+def test_synthesize_batch_radius_range_must_stay_in_room():
+    """An oversized radius would push sources outside the room (the
+    reference-quirk clip in source_coordinates only covers the UPPER walls),
+    silently invalidating the image-source geometry and the static image
+    culling — synthesize_batch must reject it up front. Default receiver
+    (2.5, 1.5, 1.5) in a (4, 5, 3) room -> max in-room radius 1.5."""
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="leave the room"):
+        D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(0.5, 1.6))
+    with pytest.raises(ValueError, match="leave the room"):
+        D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(0.5, 1.5))
+    with pytest.raises(ValueError, match="0 < lo <= hi"):
+        D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(1.4, 0.6))
+    with pytest.raises(ValueError, match="0 < lo <= hi"):
+        D.synthesize_batch(key, 4, cfg, rir_chunk=2048, radius_range=(0.0, 1.0))
+
+
 # ------------------------------------------------------------------ RIR bank
 
 

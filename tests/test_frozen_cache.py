@@ -90,6 +90,27 @@ def test_cached_echoed_training_is_bit_equivalent(datasets, compat_flatten):
     )
 
 
+def test_cache_matches_uncached_on_bf16_dataset(datasets):
+    """--dataset-bf16 + cache_frozen: the cache must encode the DECOMPRESSED
+    f32 spectra the step trains on, not the raw bf16 storage — VQ argmin
+    assignments near code boundaries flip between the two precisions, so an
+    undecompressed cache silently diverges from the uncached path."""
+    train, val = datasets
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 and a.ndim == 3 else a, t
+    )
+    train16, val16 = to_bf16(train), to_bf16(val)
+    task = EchoedSpeechTask(config=SMALL, width_scale=WS, batch_size=8, eval_every=10)
+    ref, _ = _fit_histories(task, (train16, val16), cache_frozen=False)
+    got, _ = _fit_histories(task, (train16, val16), cache_frozen=True)
+    for split in ("train", "val"):
+        for k in ref[split]:
+            np.testing.assert_allclose(
+                got[split][k], ref[split][k], rtol=3e-3, atol=1e-5,
+                err_msg=f"{split}/{k} diverged under caching on a bf16 dataset",
+            )
+
+
 def test_cache_refused_for_unfrozen_or_anchored():
     assert not EncoderFinetuneTask(config=SMALL, width_scale=WS).supports_cache
     assert not EchoedSpeechTask(

@@ -63,6 +63,29 @@ def test_unequal_slice_assignment_is_rejected():
         make_mesh(slices=3)
 
 
+def test_partial_mesh_draws_evenly_from_every_slice():
+    """Requesting fewer devices than exist must still honor the multi-slice
+    layout: a plain prefix cut after the slice-major reorder would take all
+    devices from slice 0, silently collapsing the requested 2-slice dp
+    layout into one slice."""
+    devices = jax.devices()
+    smap = interleaved(devices)
+    mesh = make_mesh(data=4, slices=2, slice_map=dict(smap))
+    assert mesh.shape == {"data": 4, "model": 1, "seq": 1}
+    rows = [smap[d] for d in mesh.devices.ravel()]
+    # two data rows on each slice, slice-major order
+    assert rows == [0, 0, 1, 1]
+    # same for a model-parallel sub-mesh: pairs stay in-slice
+    mesh = make_mesh(data=2, model=2, slices=2, slice_map=dict(smap))
+    arr = mesh.devices.reshape(2, 2)
+    assert [smap[r[0]] for r in arr] == [0, 1]
+    for row in arr:
+        assert smap[row[0]] == smap[row[1]]
+    # an indivisible data axis cannot give every slice an equal block
+    with pytest.raises(ValueError, match="data=3 not divisible"):
+        make_mesh(data=3, slices=2, slice_map=dict(smap))
+
+
 def test_sliced_mesh_step_matches_single_device():
     """The slice-major permutation of device order must not change numerics."""
     rng = np.random.default_rng(0)

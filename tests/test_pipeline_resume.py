@@ -71,3 +71,22 @@ def test_pipeline_kill_and_restart(tmp_path, capsys, monkeypatch):
 def test_pipeline_resume_requires_store():
     with pytest.raises(ValueError, match="store_dir"):
         run_pipeline(jax.random.PRNGKey(0), None, None, resume=True)
+
+
+def test_pipeline_resume_rejects_flatten_mismatch(tmp_path):
+    """Resuming into a store trained under the OTHER VQ flatten mode must
+    refuse: the stored codebooks are shape-compatible but their codes mean
+    different things (vector_quantizer.py:32), so silently reusing them
+    would corrupt every downstream stage."""
+    train = D.make_dataset(jax.random.PRNGKey(0), 16, SMALL, batch=16, rir_chunk=2048)
+    run_pipeline(
+        jax.random.PRNGKey(7), train, None, store_dir=str(tmp_path),
+        config=SMALL, width_scale=WS, updates=UPDATES, verbose=False,
+        preset="compat",
+    )
+    with pytest.raises(ValueError, match="VQ flatten"):
+        run_pipeline(
+            jax.random.PRNGKey(7), train, None, store_dir=str(tmp_path),
+            config=SMALL, width_scale=WS, updates=UPDATES, verbose=False,
+            preset="fixed", resume=True,
+        )

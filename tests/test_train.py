@@ -132,6 +132,33 @@ def test_echoed_graft_uses_pretrained(datasets):
     )
 
 
+def test_flatten_handoff_guard():
+    """A donor stage trained in one VQ flatten mode must not graft into a
+    composite resolved to the other: the codebooks are shape-identical but
+    their codes mean different things (vector_quantizer.py:32), so the
+    mismatch is invisible to shape checks. The default per-stage workflow
+    hits exactly this (echoed resolves compat, JointLocationTask defaults to
+    vectors) — the guard turns silent corruption into a reasoned error."""
+    from acoustic_locating_vq_vae_tpu.train import (
+        JointLocationTask,
+        check_flatten_handoff,
+        resolved_vq_flatten,
+    )
+
+    echoed = EchoedSpeechTask(config=SMALL, width_scale=WS)
+    assert resolved_vq_flatten(echoed) is True  # None -> compat (no seq axis)
+    assert resolved_vq_flatten(EchoedSpeechTask(config=SMALL, width_scale=WS, sequence_axis="seq")) is False
+    joint = JointLocationTask(config=SMALL, width_scale=WS)
+    assert resolved_vq_flatten(joint) is False  # dataclass default: vectors
+
+    with pytest.raises(ValueError, match="VQ flatten mismatch"):
+        check_flatten_handoff({"compat_vq_flatten": True}, joint, "finetune")
+    # matching modes and pre-metadata stores pass
+    check_flatten_handoff({"compat_vq_flatten": False}, joint, "finetune")
+    check_flatten_handoff({}, joint, "finetune")
+    check_flatten_handoff({"compat_vq_flatten": True}, echoed, "rir")
+
+
 def test_checkpoint_roundtrip(tmp_path, datasets):
     train, _ = datasets
     task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
