@@ -59,7 +59,8 @@ def main():
         jkw.pop("input_mode", None)  # the joint model always uses dense latents
         apply_stage_eval_config(
             jkw, store, "location_joint", head_params=jp["head"],
-            keys=("compat_vq_flatten", "target_mode"), flatten_default="vectors",
+            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
+            flatten_default="vectors",
         )
         results["location_joint"] = evaluate_joint_location(
             JointLocationTask(**jkw), jp, eval_data

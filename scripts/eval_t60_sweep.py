@@ -60,7 +60,8 @@ def main():
         kw.pop("input_mode", None)
         apply_stage_eval_config(
             kw, store, "location_joint", head_params=params["head"],
-            keys=("compat_vq_flatten", "target_mode"), flatten_default="vectors",
+            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
+            flatten_default="vectors",
         )
         task = JointLocationTask(**kw)
     else:

@@ -51,7 +51,8 @@ def main():
         kw.pop("input_mode", None)  # the joint model always uses dense latents
         apply_stage_eval_config(
             kw, store, "location_joint", head_params=params["head"],
-            keys=("compat_vq_flatten", "target_mode"), flatten_default="vectors",
+            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
+            flatten_default="vectors",
         )
         task = JointLocationTask(**kw)
         model = task.build_model()
@@ -80,10 +81,23 @@ def main():
     theta_pred = np.asarray(task.decode_angle(jnp.asarray(pred))).reshape(-1)
     receiver = jnp.asarray(config.receiver_position)
     room = jnp.asarray(config.room_dimensions)
+    # With a range head (predict_radius, 2-D polar localization) the
+    # coordinates use the PREDICTED per-sample radius; otherwise the
+    # config's fixed geometry.
+    predicts_radius = getattr(task, "predict_radius", False)
+    r_pred = (
+        np.asarray(task.decode_radius(jnp.asarray(pred))).reshape(-1)
+        if predicts_radius
+        else np.full_like(theta_pred, config.R)
+    )
     coords_pred = np.asarray(
-        source_coordinates(jnp.asarray(theta_pred), receiver, room, config.R, config.Z_LOC_SOURCE)
+        source_coordinates(
+            jnp.asarray(theta_pred), receiver, room, jnp.asarray(r_pred),
+            config.Z_LOC_SOURCE,
+        )
     )
     ang_err = np.angle(np.exp(1j * (theta_pred - theta_true)))
+    r_true = np.asarray(batch.radius).reshape(-1)
 
     out = {
         "model": "joint" if use_joint else "frozen",
@@ -93,11 +107,22 @@ def main():
                 "coordinates_m": [round(float(c), 3) for c in cp],
                 "theta_true_rad": round(float(tt), 4),
                 "abs_error_rad": round(float(abs(e)), 4),
+                **(
+                    {"radius_pred_m": round(float(rp), 3)}
+                    if predicts_radius
+                    else {}
+                ),
             }
-            for tp, cp, tt, e in zip(theta_pred, coords_pred, theta_true, ang_err)
+            for tp, cp, tt, e, rp in zip(
+                theta_pred, coords_pred, theta_true, ang_err, r_pred
+            )
         ],
         "rmse_radians": round(float(np.sqrt(np.mean(ang_err**2))), 4),
     }
+    if predicts_radius:
+        out["rmse_radius_m"] = round(
+            float(np.sqrt(np.mean((r_pred - r_true) ** 2))), 4
+        )
     print(json.dumps(out, indent=2))
 
 

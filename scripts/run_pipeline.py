@@ -27,6 +27,12 @@ def main():
         "jointly with a fresh location head on the angle loss, seeded from "
         "the fine-tuned composite",
     )
+    p.add_argument(
+        "--predict-radius", action="store_true",
+        help="(--joint-location) append a range output to the joint head — "
+        "2-D polar localization; supervised by the per-sample source radius "
+        "(combine with --radius-range)",
+    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -52,6 +58,7 @@ def main():
             None if args.vq_flatten is None else args.vq_flatten == "compat"
         ),
         joint_location=args.joint_location,
+        predict_radius=args.predict_radius,
         resume=args.resume,
         sequence_axis="seq" if args.sequence_parallel else None,
         **trainer_kwargs(args),
@@ -83,6 +90,7 @@ def main():
                 args.vq_flatten == "compat" if args.vq_flatten is not None else not fixed
             ),
             target_mode=args.location_target_mode or "sincos",
+            predict_radius=args.predict_radius,
         )
         jm = evaluate_joint_location(
             joint_task, res["location_joint"][0], val if val is not None else train

@@ -19,6 +19,15 @@ def main():
     )
     p.add_argument("--commitment-weight", type=float, default=0.25,
                    help="(--joint) encoder-to-codebook anchor weight")
+    p.add_argument(
+        "--predict-radius", action="store_true",
+        help="(--joint) append a range output to the head and supervise it "
+        "with the per-sample source radius — 2-D polar localization "
+        "(angle + distance). Meaningful with --radius-range data; the "
+        "reference's design is angle-only.",
+    )
+    p.add_argument("--radius-weight", type=float, default=1.0,
+                   help="(--predict-radius) weight of the range MSE term")
     args = p.parse_args()
     from acoustic_locating_vq_vae_tpu.train import LocationTask as _T
 
@@ -41,7 +50,10 @@ def main():
 
         kw = task_kwargs(args, config, location=True)
         kw.pop("input_mode", None)  # joint always uses dense latents
-        task = JointLocationTask(**kw, commitment_weight=args.commitment_weight)
+        task = JointLocationTask(
+            **kw, commitment_weight=args.commitment_weight,
+            predict_radius=args.predict_radius, radius_weight=args.radius_weight,
+        )
         check_flatten_handoff(store.stage_metadata(stage), task, stage)
         trainer = Trainer(
             task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args)

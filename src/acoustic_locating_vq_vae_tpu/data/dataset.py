@@ -105,6 +105,7 @@ def save_dataset(root_dir: str, batch: SampleBatch, config: DatasetConfig) -> No
             fs=arrs.fs[i],
             theta=arrs.theta[i],
             wiener_est=arrs.wiener_est[i],
+            radius=arrs.radius[i],
         )
     np.save(os.path.join(root_dir, "dataset_config.npy"), config.to_reference_dict())
 
@@ -202,6 +203,20 @@ class SpecsDataset:
                 f"every sample in {self.root_dir} has fewer than {t} time frames; "
                 "pass num_frames= explicitly or fix dataset_config"
             )
+        n = stacked[0].shape[0]
+        # Per-sample source radius: a framework extra in native .npz files
+        # (absent in reference .pt data and pre-radius stores — fall back to
+        # the config's fixed R, which is exact for data generated at fixed
+        # geometry). The collate may DROP too-short items, breaking the
+        # index alignment; radii are only trusted when nothing was dropped.
+        radius = np.full((n,), self.R, np.float32)
+        if n == len(items):
+            for i in range(n):
+                npz = os.path.join(self.root_dir, f"{i}.npz")
+                if os.path.exists(npz):
+                    d = np.load(npz)
+                    if "radius" in d:
+                        radius[i] = float(d["radius"])
         return SampleBatch(
             speech_spec=jnp.asarray(stacked[0]),
             rir_spec=jnp.asarray(stacked[1]),
@@ -209,6 +224,7 @@ class SpecsDataset:
             fs=jnp.asarray(stacked[3]),
             theta=jnp.asarray(stacked[4]).reshape(-1),
             wiener_est=jnp.asarray(stacked[5]),
+            radius=jnp.asarray(radius),
         )
 
 

@@ -49,7 +49,14 @@ __all__ = [
 
 class SampleBatch(struct.PyTreeNode):
     """The reference 6-tuple (specsdataset.py:31-36) as a pytree of power
-    spectrograms, truncated to the fixed 500-frame geometry."""
+    spectrograms, truncated to the fixed 500-frame geometry.
+
+    ``radius`` is a framework extra (the reference pins R=1 and stores no
+    geometry beyond theta, genereate_dataset.py:17): the per-sample source
+    radius in meters — ``config.R`` everywhere unless ``radius_range``
+    randomized it. It enables range (distance) supervision for 2-D polar
+    localization and is excluded from :meth:`as_tuple`, which remains the
+    exact reference-format view."""
 
     speech_spec: jnp.ndarray  # (B, F, T)
     rir_spec: jnp.ndarray  # (B, F, T)
@@ -57,6 +64,7 @@ class SampleBatch(struct.PyTreeNode):
     fs: jnp.ndarray  # (B,)
     theta: jnp.ndarray  # (B,)
     wiener_est: jnp.ndarray  # (B, F)
+    radius: jnp.ndarray  # (B,)
 
     def as_tuple(self):
         return (self.speech_spec, self.rir_spec, self.echoed_spec, self.fs, self.theta, self.wiener_est)
@@ -289,6 +297,9 @@ def synthesize_batch(
         fs=jnp.full((batch,), config.fs, jnp.int32),
         theta=theta,
         wiener_est=wiener,
+        radius=jnp.broadcast_to(
+            jnp.asarray(radius, jnp.float32), (batch,)
+        ),
     )
 
 
@@ -299,7 +310,7 @@ def prune_batch(
     in ``keep_fields`` become (B, 0, 0) placeholders (structure preserved,
     zero bytes), and kept floating leaves optionally cast to ``store_dtype``
     (bf16 halves HBM; the Trainer casts back to f32 at batch-sampling time).
-    The small 1-D leaves (fs, theta) always survive."""
+    The small 1-D leaves (fs, theta, radius) always survive."""
     def prune(name, a):
         if a.ndim == 3 and name not in keep_fields:
             return jnp.zeros((a.shape[0], 0, 0), a.dtype)
@@ -313,7 +324,8 @@ def prune_batch(
         **{
             name: prune(name, getattr(batch, name))
             for name in (
-                "speech_spec", "rir_spec", "echoed_spec", "fs", "theta", "wiener_est"
+                "speech_spec", "rir_spec", "echoed_spec", "fs", "theta",
+                "wiener_est", "radius",
             )
         }
     )

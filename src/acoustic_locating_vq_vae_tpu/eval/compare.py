@@ -113,8 +113,14 @@ def evaluate_location(
         theta_pred = np.arctan2(pred[:, 0], pred[:, 1])
         err_norm = (theta_pred - theta_true) / np.pi  # comparable scale
         ang = np.angle(np.exp(1j * (theta_pred - theta_true)))
+        # True geometry uses the batch's per-sample radius (== cfg.R unless
+        # radius-randomized); the frozen head has no range output, so the
+        # predicted position sits on the config's fixed circle.
         coords_true = np.asarray(
-            source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+            source_coordinates(
+                jnp.asarray(theta_true), receiver, room,
+                jnp.asarray(np.asarray(batch.radius).reshape(-1)), cfg.Z_LOC_SOURCE,
+            )
         )
         coords_pred = np.asarray(
             source_coordinates(jnp.asarray(theta_pred), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
@@ -192,17 +198,32 @@ def evaluate_joint_location(task, params: Any, batch: SampleBatch, batch_size: i
     ang = np.angle(np.exp(1j * (theta_pred - theta_true)))
     receiver = jnp.asarray(cfg.receiver_position)
     room = jnp.asarray(cfg.room_dimensions)
+    predicts_radius = getattr(task, "predict_radius", False)
+    # True geometry: the batch carries the per-sample radius (== cfg.R unless
+    # the data was radius-randomized). Predicted geometry: the head's range
+    # output when it has one, else the config's fixed R.
+    r_true = np.asarray(batch.radius).reshape(-1)
+    r_pred = (
+        np.asarray(task.decode_radius(jnp.asarray(pred)))
+        if predicts_radius
+        else np.full_like(r_true, cfg.R)
+    )
     coords_true = np.asarray(
-        source_coordinates(jnp.asarray(theta_true), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        source_coordinates(
+            jnp.asarray(theta_true), receiver, room, jnp.asarray(r_true), cfg.Z_LOC_SOURCE
+        )
     )
     coords_pred = np.asarray(
-        source_coordinates(jnp.asarray(theta_pred), receiver, room, cfg.R, cfg.Z_LOC_SOURCE)
+        source_coordinates(
+            jnp.asarray(theta_pred), receiver, room, jnp.asarray(r_pred), cfg.Z_LOC_SOURCE
+        )
     )
+    loc_pred = pred[:, :-1] if predicts_radius else pred
     if task.target_mode == "sincos":
         err_norm_sq = (ang / np.pi) ** 2
     else:
-        err_norm_sq = (pred.reshape(-1) - theta_true / np.pi) ** 2
-    return {
+        err_norm_sq = (loc_pred[:, 0] - theta_true / np.pi) ** 2
+    out = {
         "mse_theta_over_pi": float(np.mean(err_norm_sq)),
         "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm_sq))),
         "rmse_radians": float(np.sqrt(np.mean(ang**2))),
@@ -213,6 +234,10 @@ def evaluate_joint_location(task, params: Any, batch: SampleBatch, batch_size: i
         ),
         "num_samples": int(n),
     }
+    if predicts_radius:
+        out["rmse_radius_m"] = float(np.sqrt(np.mean((r_pred - r_true) ** 2)))
+        out["median_abs_radius_m"] = float(np.median(np.abs(r_pred - r_true)))
+    return out
 
 
 def compare_location_models(

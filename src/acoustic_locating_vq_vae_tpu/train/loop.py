@@ -680,7 +680,7 @@ class Trainer:
         # flatten mode in particular is shape-invisible: both modes produce
         # identical param trees but different code assignments.
         meta: dict = {"task": self.task.name, "final": final}
-        for attr in ("compat_vq_flatten", "input_mode", "target_mode"):
+        for attr in ("compat_vq_flatten", "input_mode", "target_mode", "predict_radius"):
             if hasattr(self.task, attr):
                 v = getattr(self.task, attr)
                 if attr == "compat_vq_flatten":

@@ -85,6 +85,7 @@ def run_pipeline(
     location_target_mode: Optional[str] = None,
     compat_vq_flatten: Optional[bool] = None,
     joint_location: bool = False,
+    predict_radius: bool = False,
     resume: bool = False,
     ckpt_every: Optional[int] = None,
     sequence_axis: object = None,
@@ -278,7 +279,7 @@ def run_pipeline(
         joint_task = JointLocationTask(
             config=config, width_scale=width_scale, vq_backend=vq_backend,
             compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
-            target_mode=joint_target_mode,
+            target_mode=joint_target_mode, predict_radius=predict_radius,
             **({"ckpt_every": ckpt_every} if ckpt_every is not None else {}),
         )
         done = _completed("location_joint")

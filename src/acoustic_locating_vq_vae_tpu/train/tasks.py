@@ -643,6 +643,15 @@ class JointLocationTask(Task):
     target_mode: str = "sincos"
     output_dim: int = 1
     commitment_weight: float = 0.25
+    # 2-D polar localization (beyond parity): append a range (source radius)
+    # output to the head and supervise it with batch.radius — meaningful
+    # with radius-randomized data (synthesize_batch radius_range=); at fixed
+    # geometry the target is constant and the head just learns it. The
+    # radius is regressed in METERS (the reference geometry's R=1 keeps the
+    # target O(1); no config-dependent normalization, so eval tools may
+    # freely swap condition configs).
+    predict_radius: bool = False
+    radius_weight: float = 1.0
     # Interface symmetry with the other stages but REJECTED (mirrors
     # RirVQVAETask): this task's model IS the rir branch + MLP head — the
     # spectrogram's time axis enters as the first conv's CHANNELS and the
@@ -668,6 +677,8 @@ class JointLocationTask(Task):
             compat_vq_flatten=self.compat_vq_flatten,
         )
         out_dim = 2 if self.target_mode == "sincos" else self.output_dim
+        if self.predict_radius:
+            out_dim += 1  # trailing column: source radius in units of config.R
         return JointLocationModel(rir_model=rir_model, output_dim=out_dim)
 
     @staticmethod
@@ -682,7 +693,7 @@ class JointLocationTask(Task):
 
     @property
     def resident_fields(self) -> Tuple[str, ...]:
-        return ("echoed_spec", "fs", "theta")
+        return ("echoed_spec", "fs", "theta", "radius")
 
     def model_inputs(self, batch: SampleBatch) -> Tuple:
         x = znorm(batch.echoed_spec, axis=1)  # train_location.py:63-65
@@ -696,14 +707,28 @@ class JointLocationTask(Task):
             target = jnp.concatenate([jnp.sin(theta), jnp.cos(theta)], axis=1)
         else:
             target = theta / jnp.pi
-        mse = jnp.mean((pred - target) ** 2)
+        pred_loc = pred[:, :-1] if self.predict_radius else pred
+        mse = jnp.mean((pred_loc - target) ** 2)
         loss = mse + self.commitment_weight * vq_loss
-        return loss, {"location_error": mse, "rir_perplexity": perp}
+        metrics = {"location_error": mse, "rir_perplexity": perp}
+        if self.predict_radius:
+            r_target = batch.radius.astype(pred.dtype)  # meters
+            mse_r = jnp.mean((pred[:, -1] - r_target) ** 2)
+            loss = loss + self.radius_weight * mse_r
+            metrics["radius_error"] = mse_r
+        return loss, metrics
 
     def decode_angle(self, pred: jnp.ndarray) -> jnp.ndarray:
         if self.target_mode == "sincos":
             return jnp.arctan2(pred[:, 0], pred[:, 1])
-        return pred.reshape(-1) * jnp.pi
+        return pred[:, 0] * jnp.pi
+
+    def decode_radius(self, pred: jnp.ndarray) -> jnp.ndarray:
+        """Predicted source radius in METERS (the trailing head column);
+        requires ``predict_radius=True``."""
+        if not self.predict_radius:
+            raise ValueError("decode_radius requires predict_radius=True")
+        return pred[:, -1]
 
     @property
     def rng_streams(self) -> Tuple[str, ...]:

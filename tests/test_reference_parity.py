@@ -294,6 +294,7 @@ def test_dataset_roundtrip_through_real_reference_reader():
         fs=jnp.full((B,), 16000, jnp.int32),
         theta=jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32)),
         wiener_est=jnp.asarray(rng.standard_normal((B, F)).astype(np.float32)),
+        radius=jnp.ones((B,), jnp.float32),
     )
     cfg = DatasetConfig(num_frames=500)
 
@@ -397,6 +398,7 @@ def test_reference_compare_script_runs_unmodified(tmp_path):
         fs=jnp.full((B,), 16000, jnp.int32),
         theta=jnp.asarray(rng.uniform(-np.pi, np.pi, B).astype(np.float32)),
         wiener_est=jnp.asarray(rng.standard_normal((B, F)).astype(np.float32)),
+        radius=jnp.ones((B,), jnp.float32),
     )
     val_dir = run_dir / "spec_data" / "val_set"
     val_dir.mkdir(parents=True)

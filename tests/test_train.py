@@ -426,6 +426,52 @@ def test_joint_location_task_trains_encoder(datasets, tmp_path):
     np.testing.assert_array_equal(cb0, cb1)
 
 
+def test_joint_predict_radius_head(tmp_path):
+    """2-D polar localization (beyond parity): predict_radius appends a range
+    output supervised in meters by batch.radius. On radius-randomized data
+    the range head must learn the per-sample radius (beat the
+    constant-predictor variance), the radius metrics must appear in training
+    history and eval, and the checkpoint metadata must record the mode."""
+    from acoustic_locating_vq_vae_tpu.eval import evaluate_joint_location
+    from acoustic_locating_vq_vae_tpu.train import JointLocationTask
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    train = D.make_dataset(
+        jax.random.PRNGKey(0), 32, SMALL, batch=16, rir_chunk=2048,
+        radius_range=(0.6, 1.4),
+    )
+    r = np.asarray(train.radius)
+    assert r.min() >= 0.6 and r.max() <= 1.4 and np.unique(r).size > 1
+
+    task = JointLocationTask(
+        config=SMALL, width_scale=WS, batch_size=8, predict_radius=True,
+    )
+    tr = Trainer(task, verbose=False, checkpoint_dir=str(tmp_path))
+    st = tr.init_state(jax.random.PRNGKey(1), train)
+    st, hist = tr.fit(st, train, None, num_updates=120)
+    f = hist.finalize()
+    radius_err = f["train"]["radius_error"]
+    assert np.isfinite(radius_err).all()
+    # beat the constant predictor: Var(U(0.6,1.4)) = 0.8^2/12 = 0.053
+    assert np.mean(radius_err[-20:]) < 0.05
+
+    m = evaluate_joint_location(task, st.params, train)
+    assert "rmse_radius_m" in m and np.isfinite(m["rmse_radius_m"])
+    assert m["rmse_radius_m"] < 0.23  # constant predictor: 0.8/sqrt(12) = 0.231
+    # predicted-radius coordinates: still finite/sane
+    assert np.isfinite(m["rmse_coordinates_m"])
+
+    meta = StageStore(str(tmp_path)).stage_metadata("location_joint")
+    assert meta["predict_radius"] is True
+    assert meta["target_mode"] == "sincos"
+
+    # decode_radius is meters straight from the head; guarded otherwise
+    with pytest.raises(ValueError, match="predict_radius"):
+        JointLocationTask(config=SMALL, width_scale=WS).decode_radius(
+            jnp.zeros((2, 3))
+        )
+
+
 def test_pipeline_joint_location_stage(datasets):
     """joint_location=True appends stage 6: a JointLocationTask seeded from
     the fine-tuned composite (rir encoder + codebook copied), trained on the
