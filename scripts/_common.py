@@ -15,6 +15,23 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def exit_on_preemption():
+    """Turn a mid-stage :class:`Preempted` (SIGTERM during Trainer.fit — the
+    loop has already saved a resumable checkpoint) into a clean exit 75
+    (EX_TEMPFAIL) with a restart hint, instead of a traceback."""
+    from acoustic_locating_vq_vae_tpu.train import Preempted
+
+    try:
+        yield
+    except Preempted as e:
+        print(f"[preempted] {e}", flush=True)
+        sys.exit(75)
+
+
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--data-dir", default=None, help="SpecsDataset dir (.pt/.npz); default: synthesize on device")

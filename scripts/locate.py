@@ -24,6 +24,14 @@ def main():
         help="which localizer: the joint fine-tuned stage, the frozen "
         "location head over the composite, or auto (joint when present)",
     )
+    p.add_argument(
+        "--latency", type=int, default=0, metavar="K",
+        help="serving benchmark: time K inference dispatches at batch --n "
+        "(each on distinct data with a value-fetch barrier — the TPU tunnel "
+        "memoizes identical dispatches and buffers return as futures, so "
+        "naive loops under-report; see BASELINE.md) and report per-batch "
+        "latency + samples/s",
+    )
     args = p.parse_args()
     config, mesh, train, val = setup(args)
 
@@ -56,8 +64,14 @@ def main():
         )
         task = JointLocationTask(**kw)
         model = task.build_model()
-        (x_trans,) = task.model_inputs(batch)
-        pred, _, _ = jax.jit(lambda p, x: model.apply({"params": p}, x))(params, x_trans)
+
+        @jax.jit
+        def _predict(p, b):
+            (x_trans,) = task.model_inputs(b)
+            return model.apply({"params": p}, x_trans)[0]
+
+        predict = lambda b: _predict(params, b)
+        pred = predict(batch)
     else:
         if not store.has_stage("location"):
             raise SystemExit("no 'location' stage in the store (run train_location.py)")
@@ -76,7 +90,8 @@ def main():
             feats = task.encodings_from_composite(composite, comp_p, b)
             return model.apply({"params": loc_p}, feats)
 
-        pred = _predict(params, composite_params, batch)
+        predict = lambda b: _predict(params, composite_params, b)
+        pred = predict(batch)
 
     theta_pred = np.asarray(task.decode_angle(jnp.asarray(pred))).reshape(-1)
     receiver = jnp.asarray(config.receiver_position)
@@ -123,6 +138,35 @@ def main():
         out["rmse_radius_m"] = round(
             float(np.sqrt(np.mean((r_pred - r_true) ** 2))), 4
         )
+
+    if args.latency > 0:
+        import time
+
+        # K+1 distinct inputs (batch-axis rolls): the warmup dispatch and
+        # every timed dispatch differ, so none can be served from the
+        # tunnel's dispatch memo; the float() fetch is the barrier.
+        variants = [
+            jax.tree_util.tree_map(lambda a: jnp.roll(a, i, axis=0), batch)
+            for i in range(args.latency + 1)
+        ]
+        variants = [jax.device_put(v) for v in variants]
+        for v in variants:
+            jax.block_until_ready(v)
+        _ = float(jnp.sum(predict(variants[-1])))  # warm (shape already compiled)
+        times = []
+        for v in variants[: args.latency]:
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(predict(v)))
+            times.append(time.perf_counter() - t0)
+        times_ms = sorted(1e3 * t for t in times)
+        out["latency"] = {
+            "batch": int(args.n),
+            "iters": int(args.latency),
+            "mean_ms": round(float(np.mean(times_ms)), 2),
+            "p50_ms": round(float(times_ms[len(times_ms) // 2]), 2),
+            "min_ms": round(float(times_ms[0]), 2),
+            "samples_per_s": round(args.n / float(np.mean(times)), 1),
+        }
     print(json.dumps(out, indent=2))
 
 

@@ -46,4 +46,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from _common import exit_on_preemption
+
+    with exit_on_preemption():
+        main()

@@ -1,7 +1,7 @@
 """Training layer: the five stage task specs and the single generic
 mesh-sharded training loop (replacing the reference's per-script loops)."""
 
-from .loop import Trainer, TrainHistory, TrainState
+from .loop import Preempted, Trainer, TrainHistory, TrainState
 from .pipeline import run_pipeline, run_stage
 from .tasks import (
     EchoedSpeechTask,
@@ -18,6 +18,7 @@ from .tasks import (
 )
 
 __all__ = [
+    "Preempted",
     "Trainer",
     "TrainHistory",
     "TrainState",

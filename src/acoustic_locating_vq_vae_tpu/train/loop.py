@@ -21,6 +21,7 @@ with one jitted step over a device mesh:
 from __future__ import annotations
 
 import functools
+import signal
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -37,8 +38,28 @@ from ..parallel.mesh import batch_shardings, local_mesh, replicated, shard_param
 from ..utils.checkpoint import StageStore
 from .tasks import LocationTask, Task
 
-__all__ = ["TrainState", "Trainer", "TrainHistory", "sample_without_replacement"]
+__all__ = [
+    "TrainState", "Trainer", "TrainHistory", "Preempted",
+    "sample_without_replacement",
+]
 
+
+class Preempted(RuntimeError):
+    """Raised by :meth:`Trainer.fit` when a preemption signal (SIGTERM)
+    arrives mid-stage: the loop saves a periodic checkpoint of (params,
+    opt_state, step) first, so restarting with ``resume=True`` (or
+    ``run_pipeline.py --resume``) loses at most the in-flight step. The
+    reference has no counterpart — a killed run loses everything since its
+    last whole-model pickle, and its optimizer state entirely
+    (SURVEY.md §5.3)."""
+
+    def __init__(self, task: str, completed: int):
+        super().__init__(
+            f"stage {task!r} preempted after {completed} updates; checkpoint "
+            "saved — restart with resume=True / --resume to continue"
+        )
+        self.task = task
+        self.completed = completed
 
 
 class TrainState(struct.PyTreeNode):
@@ -164,6 +185,10 @@ class Trainer:
         # SURVEY.md §5.1: when set, fit() captures a Perfetto/TensorBoard
         # device trace of a few steady-state steps (after compile) here.
         self.profile_dir = profile_dir
+        # Graceful-preemption flag: set by the SIGTERM handler fit() installs
+        # (or programmatically via request_preemption()); checked between
+        # steps — see Preempted.
+        self._preempt_requested = False
 
         self.composite = None
         self.composite_params = None
@@ -419,6 +444,13 @@ class Trainer:
 
     # ------------------------------------------------------------------- fit
 
+    def request_preemption(self) -> None:
+        """Ask the running fit() to checkpoint and raise :class:`Preempted`
+        before its next step. Signal-handler-safe (sets a flag only); also
+        the programmatic path for non-main-thread callers, where fit()
+        cannot install its SIGTERM handler."""
+        self._preempt_requested = True
+
     def fit(
         self,
         state: TrainState,
@@ -430,7 +462,35 @@ class Trainer:
         """Run the stage. With ``resume=True`` and a checkpoint store, restart
         from the newest periodic checkpoint of this task (params, opt state,
         AND step), so a crash loses at most ``ckpt_every`` updates — unlike
-        the reference, which never saves optimizer state (SURVEY.md §5.3)."""
+        the reference, which never saves optimizer state (SURVEY.md §5.3).
+
+        While running, SIGTERM triggers graceful preemption: the loop saves
+        a resumable checkpoint and raises :class:`Preempted` (production TPU
+        pools preempt with SIGTERM; combined with ``--resume`` this makes
+        pipelines preemption-transparent)."""
+        installed = False
+        try:
+            prev = signal.signal(
+                signal.SIGTERM, lambda *_: self.request_preemption()
+            )
+            installed = True
+        except ValueError:
+            prev = None  # not the main thread — flag-only preemption
+        try:
+            return self._fit(state, train_data, val_data, num_updates, resume)
+        finally:
+            if installed:
+                signal.signal(signal.SIGTERM, prev if prev is not None else signal.SIG_DFL)
+            self._preempt_requested = False
+
+    def _fit(
+        self,
+        state: TrainState,
+        train_data: SampleBatch,
+        val_data: Optional[SampleBatch],
+        num_updates: Optional[int],
+        resume: bool,
+    ) -> Tuple[TrainState, TrainHistory]:
         num_updates = num_updates or self.task.num_updates
         # 20k-scale host-staged path (SURVEY.md; reference 20k_set,
         # train_rir.py:121): keep one fixed-size chunk device-resident,
@@ -521,6 +581,15 @@ class Trainer:
         next_chunk = None
         prefetch_at = max(1, (host_train.rotate_every + 1) // 2) if host_train else 0
         for i in range(start, num_updates):
+            if self._preempt_requested:
+                if tracing:
+                    jax.profiler.stop_trace()
+                if self.store is not None and i > start:
+                    # Same tag convention as the periodic cadence below, so
+                    # restore_latest() finds it; orbax save is force=True, so
+                    # colliding with an existing periodic tag just rewrites it.
+                    self.save_checkpoint(state, tag=f"{self.task.name}_{i}")
+                raise Preempted(self.task.name, i)
             if host_train is not None and i > start:
                 off = (i - start) % host_train.rotate_every
                 if off == prefetch_at and next_chunk is None:
