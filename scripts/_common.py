@@ -388,6 +388,69 @@ def apply_stage_eval_config(
     return kw
 
 
+def build_localizer(args, config, store):
+    """Construct the inference-side localizer from a trained stage store —
+    shared by the deployment-facing scripts (locate.py, track.py).
+
+    Picks the joint fine-tuned stage ('location_joint', the best validated
+    localizer, VALIDATION.md) when ``args.model`` is 'auto' and the store has
+    one, else the frozen 'location' head over the composite; the checkpoint's
+    recorded modes are authoritative (apply_stage_eval_config). Returns
+    ``(task, predict, predicts_radius, use_joint)`` where ``predict`` maps a
+    SampleBatch to the head's raw output (jitted, params closed over)."""
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
+
+    use_joint = args.model == "joint" or (
+        args.model == "auto" and store.has_stage("location_joint")
+    )
+    kw = task_kwargs(args, config, location=True)
+    if use_joint:
+        if not store.has_stage("location_joint"):
+            raise SystemExit(
+                "no 'location_joint' stage in the store (run train_location.py --joint)"
+            )
+        params = store.load_stage("location_joint")["params"]
+        kw.pop("input_mode", None)  # the joint model always uses dense latents
+        apply_stage_eval_config(
+            kw, store, "location_joint", head_params=params["head"],
+            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
+            flatten_default="vectors",
+        )
+        task = JointLocationTask(**kw)
+        model = task.build_model()
+
+        @jax.jit
+        def _predict(p, b):
+            (x_trans,) = task.model_inputs(b)
+            return model.apply({"params": p}, x_trans)[0]
+
+        predict = lambda b: _predict(params, b)
+    else:
+        if not store.has_stage("location"):
+            raise SystemExit(
+                "no 'location' stage in the store (run train_location.py)"
+            )
+        params = store.load_stage("location")["params"]
+        stage = "finetune" if store.has_stage("finetune") else "echoed"
+        composite_params = store.load_stage(stage)["params"]
+        apply_stage_eval_config(
+            kw, store, "location", head_params=params, probe_task=LocationTask(**kw)
+        )
+        task = LocationTask(**kw)
+        composite = task.build_composite()
+        model = task.build_model()
+
+        @jax.jit
+        def _predict(loc_p, comp_p, b):
+            feats = task.encodings_from_composite(composite, comp_p, b)
+            return model.apply({"params": loc_p}, feats)
+
+        predict = lambda b: _predict(params, composite_params, b)
+    return task, predict, getattr(task, "predict_radius", False), use_joint
+
+
 def trainer_kwargs(args):
     kw = dict(
         log_every=args.log_every,

@@ -13,7 +13,7 @@ import json
 
 import numpy as np
 
-from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
+from _common import base_parser, build_localizer, setup
 
 
 def main():
@@ -39,59 +39,15 @@ def main():
     import jax.numpy as jnp
 
     from acoustic_locating_vq_vae_tpu.dsp import source_coordinates
-    from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
     store = StageStore(args.store_dir)
-    use_joint = args.model == "joint" or (
-        args.model == "auto" and store.has_stage("location_joint")
-    )
-
     data = val if val is not None else train
     batch = jax.tree_util.tree_map(lambda a: a[: args.n], data)
     theta_true = np.asarray(batch.theta).reshape(-1)
 
-    kw = task_kwargs(args, config, location=True)
-    if use_joint:
-        if not store.has_stage("location_joint"):
-            raise SystemExit("no 'location_joint' stage in the store (run train_location.py --joint)")
-        params = store.load_stage("location_joint")["params"]
-        kw.pop("input_mode", None)  # the joint model always uses dense latents
-        apply_stage_eval_config(
-            kw, store, "location_joint", head_params=params["head"],
-            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
-            flatten_default="vectors",
-        )
-        task = JointLocationTask(**kw)
-        model = task.build_model()
-
-        @jax.jit
-        def _predict(p, b):
-            (x_trans,) = task.model_inputs(b)
-            return model.apply({"params": p}, x_trans)[0]
-
-        predict = lambda b: _predict(params, b)
-        pred = predict(batch)
-    else:
-        if not store.has_stage("location"):
-            raise SystemExit("no 'location' stage in the store (run train_location.py)")
-        params = store.load_stage("location")["params"]
-        stage = "finetune" if store.has_stage("finetune") else "echoed"
-        composite_params = store.load_stage(stage)["params"]
-        apply_stage_eval_config(
-            kw, store, "location", head_params=params, probe_task=LocationTask(**kw)
-        )
-        task = LocationTask(**kw)
-        composite = task.build_composite()
-        model = task.build_model()
-
-        @jax.jit
-        def _predict(loc_p, comp_p, b):
-            feats = task.encodings_from_composite(composite, comp_p, b)
-            return model.apply({"params": loc_p}, feats)
-
-        predict = lambda b: _predict(params, composite_params, b)
-        pred = predict(batch)
+    task, predict, predicts_radius, use_joint = build_localizer(args, config, store)
+    pred = predict(batch)
 
     theta_pred = np.asarray(task.decode_angle(jnp.asarray(pred))).reshape(-1)
     receiver = jnp.asarray(config.receiver_position)
@@ -99,7 +55,6 @@ def main():
     # With a range head (predict_radius, 2-D polar localization) the
     # coordinates use the PREDICTED per-sample radius; otherwise the
     # config's fixed geometry.
-    predicts_radius = getattr(task, "predict_radius", False)
     r_pred = (
         np.asarray(task.decode_radius(jnp.asarray(pred))).reshape(-1)
         if predicts_radius

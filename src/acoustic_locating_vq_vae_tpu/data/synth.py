@@ -142,6 +142,8 @@ def synthesize_batch(
     rt60_range: Optional[tuple] = None,
     rir_bank: Optional[jnp.ndarray] = None,
     radius_range: Optional[tuple] = None,
+    theta: Optional[jnp.ndarray] = None,
+    radius: Optional[jnp.ndarray] = None,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -176,6 +178,17 @@ def synthesize_batch(
     grid spacing 2pi/n_theta) and synthesis skips image-source summation
     entirely. A 3-D bank draws a uniform T60 grid index per sample (its own
     domain randomization — exclusive with ``rt60_range``).
+
+    ``theta`` / ``radius``: optional GIVEN per-sample geometry (framework
+    extra; the reference's generator only ever draws randomly,
+    genereate_dataset.py:16-17) — shape (batch,) arrays (radius also takes
+    a scalar) that replace the random draws, for controlled evaluation and
+    trajectory synthesis (``eval.tracking``, scripts/track.py). The random
+    streams are consumed identically either way, so providing the values a
+    random run drew reproduces that run exactly (tested). Given ``theta``
+    excludes ``rir_bank`` (bank labels are grid-snapped — synthesize
+    exactly instead); given ``radius`` excludes ``radius_range`` and the
+    caller owns the in-room validation that ``radius_range`` would do.
     """
     if rir_bank is not None and rt60_range is not None:
         raise ValueError(
@@ -187,6 +200,13 @@ def synthesize_batch(
             "rir_bank excludes radius_range: the bank's RIRs are "
             "precomputed at the config's fixed source radius"
         )
+    if theta is not None and rir_bank is not None:
+        raise ValueError(
+            "given theta excludes rir_bank (bank RIRs exist only at grid "
+            "angles): drop the bank to synthesize the exact geometry"
+        )
+    if radius is not None and radius_range is not None:
+        raise ValueError("given radius excludes radius_range")
     if radius_range is not None:
         lo, hi = float(radius_range[0]), float(radius_range[1])
         rx, ry = config.receiver_position[0], config.receiver_position[1]
@@ -210,7 +230,9 @@ def synthesize_batch(
         )
     k_theta, k_speech, k_rt60 = jax.random.split(key, 3)
 
-    if rir_bank is not None:
+    if theta is not None:
+        theta = jnp.broadcast_to(jnp.asarray(theta, jnp.float32), (batch,))
+    elif rir_bank is not None:
         n_theta = rir_bank.shape[-2]
         idx = jax.random.randint(k_theta, (batch,), 0, n_theta)
         if fixed_rir:
@@ -223,7 +245,10 @@ def synthesize_batch(
 
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
-    radius = config.R
+    if radius is not None:
+        radius = jnp.asarray(radius, jnp.float32)
+    else:
+        radius = config.R
     if radius_range is not None:
         # fold_in (not a wider split) keeps the theta/speech/rt60 streams
         # identical to a radius_range=None run with the same key

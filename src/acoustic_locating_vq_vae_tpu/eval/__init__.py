@@ -10,8 +10,20 @@ from .compare import (
 )
 from .latents import collect_encodings, linear_angle_probe, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
+from .tracking import (
+    alpha_beta_filter,
+    arc_trajectory,
+    track_metrics,
+    walk_trajectory,
+    wrap_angle,
+)
 
 __all__ = [
+    "alpha_beta_filter",
+    "arc_trajectory",
+    "track_metrics",
+    "walk_trajectory",
+    "wrap_angle",
     "compare_location_models",
     "evaluate_location",
     "evaluate_joint_location",
