@@ -3,7 +3,11 @@
 
 Headline metric (BASELINE.json): spectrogram frames/sec/chip for
 echoed-speech VQ-VAE *training* at the full reference geometry
-(B=64, 201x500 power spectrograms, composite model of train_echoed_speech.py).
+(B=64, 201x500 power spectrograms, composite model of train_echoed_speech.py),
+on the framework's shipped fast path: the frozen-latent cache in f32.
+Secondary fields report the reference-semantics uncached step and the
+explicit-bf16 cached step (f32-vs-bf16 is below tunnel noise — see the
+comment at the metric and BASELINE.md).
 
 Baseline: the reference publishes no numbers (BASELINE.md), so the baseline
 is the measured throughput of the reference's torch training step on this
@@ -91,9 +95,7 @@ def main():
     trainer = Trainer(task, verbose=False, cache_frozen=True)
     state = trainer.init_state(jax.random.PRNGKey(1), data)
 
-    step = trainer._step_fn
-
-    def best_window(operand, st):
+    def best_window(step, operand, st):
         """Best of 5 ten-step windows (the TPU tunnel's throughput varies
         with external load; the best window is closest to uncontended
         capability). Returns (seconds/step, final state)."""
@@ -109,15 +111,25 @@ def main():
             windows.append((time.perf_counter() - t0) / iters)
         return min(windows), st
 
-    # Reference-semantics step (encoders recomputed every step, matching the
-    # torch baseline's work): the round-1 headline, kept for continuity.
-    dt_full, state = best_window(data, state)
+    # Reference-semantics step (encoders recomputed every step in f32,
+    # matching the torch baseline's work): the round-1 headline, kept for
+    # continuity.
+    dt_full, state = best_window(trainer._step_fn, data, state)
 
     # Frozen-latent cache step (Trainer(cache_frozen=True) — numerically
-    # equivalent training, see train/loop.py): the framework's shipped fast
-    # path for this stage, and the headline value.
+    # equivalent training, see train/loop.py) in f32.
     cache = trainer._build_cache(state, data)
-    dt_cached, state = best_window((data, cache), state)
+    dt_cached, state = best_window(trainer._step_fn, (data, cache), state)
+
+    # Explicit-bf16 cached step (--cache-frozen --compute-dtype bfloat16;
+    # params, losses, and VQ assignment stay f32, train/tasks.py). Params
+    # are f32 in both tasks, so the same state carries over; the cache is
+    # rebuilt through the bf16 trainer to time exactly what it ships (VQ
+    # code assignment is f32 in both, so the codes are identical).
+    task_bf16 = EchoedSpeechTask(config=cfg, compute_dtype="bfloat16")
+    trainer_bf16 = Trainer(task_bf16, verbose=False, cache_frozen=True)
+    cache_bf16 = trainer_bf16._build_cache(state, data)
+    dt_bf16, state = best_window(trainer_bf16._step_fn, (data, cache_bf16), state)
 
     def report(dt, cached):
         frames = task.batch_size * cfg.num_frames / dt
@@ -126,6 +138,7 @@ def main():
 
     frames_full, tflops_full, tps_full = report(dt_full, False)
     frames_cached, tflops_cached, tps_cached = report(dt_cached, True)
+    frames_bf16, tflops_bf16, tps_bf16 = report(dt_bf16, True)
     out = {
         "metric": "echoed_speech_train_frames_per_sec_per_chip",
         "value": round(frames_cached, 1),
@@ -142,6 +155,15 @@ def main():
         "model_tflops_per_step": round(tflops_cached, 3),
         "model_tflops_per_sec": round(tps_cached, 1),
         "mfu_vs_v5e_bf16_peak": round(tps_cached / V5E_PEAK_BF16_TFLOPS, 3),
+        # Cached step with explicit bf16 conv compute (--compute-dtype
+        # bfloat16). XLA's default TPU conv precision already multiplies in
+        # bf16 with f32 accumulation, so the true delta is a few percent —
+        # below this tunnel's contention noise (round-3 runs read -25% to
+        # +3%, BASELINE.md). The stable f32 step stays the headline.
+        "bf16_cached_frames_per_sec": round(frames_bf16, 1),
+        "bf16_cached_mfu_vs_v5e_bf16_peak": round(
+            tps_bf16 / V5E_PEAK_BF16_TFLOPS, 3
+        ),
         # Reference-semantics step (no cache; encoders recomputed like the
         # torch baseline) — the round-1 headline, for continuity.
         "uncached_frames_per_sec": round(frames_full, 1),
