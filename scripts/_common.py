@@ -144,7 +144,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--host-staged", type=int, default=0, metavar="CHUNK_SIZE",
         help="generate the dataset into HOST memory and train from "
         "CHUNK_SIZE-row device-resident chunks rotated every "
-        "--rotate-every steps — for datasets beyond HBM (reference 20k_set)",
+        "--rotate-every steps — for datasets beyond HBM (reference 20k_set). "
+        "Peak HBM is TWO chunks (the next chunk prefetches mid-window to "
+        "overlap the transfer), so size CHUNK_SIZE accordingly",
     )
     p.add_argument(
         "--rotate-every", type=int, default=500,
@@ -388,18 +390,17 @@ def apply_stage_eval_config(
     return kw
 
 
-def build_localizer(args, config, store):
-    """Construct the inference-side localizer from a trained stage store —
-    shared by the deployment-facing scripts (locate.py, track.py).
+def load_localizer_stages(args, config, store):
+    """Resolve and load the localizer's checkpoint stages from a store —
+    shared by every deployment/eval-facing script (locate.py, track.py,
+    eval_t60_sweep.py) so store selection, friendly missing-stage errors,
+    and checkpoint-authoritative mode resolution never diverge.
 
     Picks the joint fine-tuned stage ('location_joint', the best validated
     localizer, VALIDATION.md) when ``args.model`` is 'auto' and the store has
-    one, else the frozen 'location' head over the composite; the checkpoint's
-    recorded modes are authoritative (apply_stage_eval_config). Returns
-    ``(task, predict, predicts_radius, use_joint)`` where ``predict`` maps a
-    SampleBatch to the head's raw output (jitted, params closed over)."""
-    import jax
-
+    one, else the frozen 'location' head over the composite. Returns
+    ``(task, params, composite_params, use_joint)``; ``composite_params`` is
+    None on the joint path (the joint model is self-contained)."""
     from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
 
     use_joint = args.model == "joint" or (
@@ -418,8 +419,29 @@ def build_localizer(args, config, store):
             keys=("compat_vq_flatten", "target_mode", "predict_radius"),
             flatten_default="vectors",
         )
-        task = JointLocationTask(**kw)
-        model = task.build_model()
+        return JointLocationTask(**kw), params, None, True
+    if not store.has_stage("location"):
+        raise SystemExit("no 'location' stage in the store (run train_location.py)")
+    params = store.load_stage("location")["params"]
+    stage = "finetune" if store.has_stage("finetune") else "echoed"
+    composite_params = store.load_stage(stage)["params"]
+    apply_stage_eval_config(
+        kw, store, "location", head_params=params, probe_task=LocationTask(**kw)
+    )
+    return LocationTask(**kw), params, composite_params, False
+
+
+def build_localizer(args, config, store):
+    """load_localizer_stages plus a jitted inference closure: returns
+    ``(task, predict, predicts_radius, use_joint)`` where ``predict`` maps a
+    SampleBatch to the head's raw output (params closed over)."""
+    import jax
+
+    task, params, composite_params, use_joint = load_localizer_stages(
+        args, config, store
+    )
+    model = task.build_model()
+    if use_joint:
 
         @jax.jit
         def _predict(p, b):
@@ -428,19 +450,7 @@ def build_localizer(args, config, store):
 
         predict = lambda b: _predict(params, b)
     else:
-        if not store.has_stage("location"):
-            raise SystemExit(
-                "no 'location' stage in the store (run train_location.py)"
-            )
-        params = store.load_stage("location")["params"]
-        stage = "finetune" if store.has_stage("finetune") else "echoed"
-        composite_params = store.load_stage(stage)["params"]
-        apply_stage_eval_config(
-            kw, store, "location", head_params=params, probe_task=LocationTask(**kw)
-        )
-        task = LocationTask(**kw)
         composite = task.build_composite()
-        model = task.build_model()
 
         @jax.jit
         def _predict(loc_p, comp_p, b):
@@ -459,13 +469,9 @@ def trainer_kwargs(args):
         profile_dir=getattr(args, "profile_dir", None),
         cache_frozen=getattr(args, "cache_frozen", False),
     )
-    synth_kw = getattr(args, "_synth_kwargs", None)
-    if synth_kw is None:
-        synth_kw = {}
-        if getattr(args, "rt60_range", None):
-            synth_kw["rt60_range"] = tuple(args.rt60_range)
-        if getattr(args, "radius_range", None):
-            synth_kw["radius_range"] = tuple(args.radius_range)
+    # setup() always records the resolved synthesis kwargs (incl. a built
+    # RIR bank) on args; scripts call it before trainer_kwargs.
+    synth_kw = getattr(args, "_synth_kwargs", None) or {}
     if not kw["on_the_fly"]:
         # The Trainer only synthesizes on the OTF path; forwarding the RIR
         # bank here would merely pin its ~100 MB in HBM for the whole stage.

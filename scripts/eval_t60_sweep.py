@@ -14,7 +14,7 @@ import json
 
 import numpy as np
 
-from _common import apply_stage_eval_config, base_parser, setup, task_kwargs
+from _common import base_parser, load_localizer_stages, setup
 
 
 def main():
@@ -46,34 +46,25 @@ def main():
         evaluate_joint_location,
         evaluate_location,
     )
-    from acoustic_locating_vq_vae_tpu.train import JointLocationTask, LocationTask
     from acoustic_locating_vq_vae_tpu.utils import StageStore
 
-    store = StageStore(args.store_dir)
-    use_joint = args.model == "joint" or (
-        args.model == "auto" and store.has_stage("location_joint")
+    task, params, composite_params, use_joint = load_localizer_stages(
+        args, config, StageStore(args.store_dir)
     )
-
-    kw = task_kwargs(args, config, location=True)
-    if use_joint:
-        params = store.load_stage("location_joint")["params"]
-        kw.pop("input_mode", None)
-        apply_stage_eval_config(
-            kw, store, "location_joint", head_params=params["head"],
-            keys=("compat_vq_flatten", "target_mode", "predict_radius"),
-            flatten_default="vectors",
-        )
-        task = JointLocationTask(**kw)
-    else:
-        params = store.load_stage("location")["params"]
-        composite_stage = "finetune" if store.has_stage("finetune") else "echoed"
-        composite_params = store.load_stage(composite_stage)["params"]
-        apply_stage_eval_config(kw, store, "location", head_params=params)
-        task = LocationTask(**kw)
 
     results = {}
     n = 4 if args.smoke else args.n
     radius_grid = args.radius_grid or [config.R]
+    max_r = D.max_source_radius(config)
+    bad = [r for r in radius_grid if not 0.0 < r < max_r]
+    if bad:
+        raise SystemExit(
+            f"--radius-grid values {bad} leave the room (max in-room source "
+            f"radius {max_r:.3f} m around receiver "
+            f"{config.receiver_position[:2]}): source_coordinates clips only "
+            "at the upper walls, so the sweep would silently evaluate wrong "
+            "geometry"
+        )
     conditions = [(t, r) for t in args.t60_grid for r in radius_grid]
     for i, (t60, radius) in enumerate(conditions):
         cfg = dataclasses.replace(

@@ -97,13 +97,24 @@ def main():
     if args.latency > 0:
         import time
 
-        # K+1 distinct inputs (batch-axis rolls): the warmup dispatch and
-        # every timed dispatch differ, so none can be served from the
-        # tunnel's dispatch memo; the float() fetch is the barrier.
-        variants = [
-            jax.tree_util.tree_map(lambda a: jnp.roll(a, i, axis=0), batch)
-            for i in range(args.latency + 1)
-        ]
+        # K+1 distinct inputs: scale the float leaves by a per-variant
+        # factor (1e-4 relative — far above f32 ulp, so never the sub-ulp
+        # "identical dispatch" trap) so the warmup and every timed dispatch
+        # differ from each other AND from the accuracy dispatch above for
+        # ANY K; none can be served from the tunnel's dispatch memo. (A
+        # batch-axis roll is NOT enough: rolls wrap mod --n, so K >= n
+        # repeats inputs.) The float() fetch is the barrier.
+        def _variant(i):
+            return jax.tree_util.tree_map(
+                lambda a: (
+                    a * np.float32(1.0 + 1e-4 * (i + 1))
+                    if jnp.issubdtype(a.dtype, jnp.floating)
+                    else a
+                ),
+                batch,
+            )
+
+        variants = [_variant(i) for i in range(args.latency + 1)]
         variants = [jax.device_put(v) for v in variants]
         for v in variants:
             jax.block_until_ready(v)

@@ -72,9 +72,7 @@ def main():
         )
     # In-room check for the whole track (synthesize_batch only validates
     # radius_range draws; given radii are the caller's responsibility).
-    rx, ry = config.receiver_position[0], config.receiver_position[1]
-    lx, ly = config.room_dimensions[0], config.room_dimensions[1]
-    max_r = min(rx, lx - rx, ry, ly - ry)
+    max_r = D.max_source_radius(config)
     if radius_traj.max() >= max_r or radius_traj.min() <= 0:
         raise SystemExit(
             f"trajectory radius range [{radius_traj.min():.3f}, "

@@ -17,6 +17,7 @@ from .synth import (
     bank_thetas,
     make_dataset,
     make_rir_bank,
+    max_source_radius,
     prune_batch,
     synthesize_batch,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "make_dataset",
     "synthesize_batch",
     "make_rir_bank",
+    "max_source_radius",
     "prune_batch",
     "bank_thetas",
 ]

@@ -254,7 +254,11 @@ class HostStagedDataset:
     ``chunk(i)`` slices. The Trainer holds one chunk device-resident,
     samples batches from it with the unchanged stratified sampler, and
     rotates to the next chunk every ``rotate_every`` steps — training
-    visits the full set at a bounded HBM footprint. Combine with
+    visits the full set at a bounded HBM footprint. NOTE the bound is TWO
+    chunks, not one: the Trainer prefetches chunk k+1 asynchronously from
+    mid-window so the host→device transfer overlaps training (train/loop.py),
+    so both chunks coexist for the second half of every window — size
+    ``chunk_size`` to at most ~half the HBM you can spare. Combine with
     ``make_dataset(keep_fields=..., store_dtype=jnp.bfloat16)`` to shrink
     both host and device cost first.
     """

@@ -44,7 +44,21 @@ __all__ = [
     "make_dataset",
     "make_rir_bank",
     "bank_thetas",
+    "max_source_radius",
 ]
+
+
+def max_source_radius(config: DatasetConfig) -> float:
+    """Largest source-circle radius that stays inside the room around the
+    receiver's xy position. :func:`..dsp.specs.source_coordinates` clips
+    only at the UPPER walls (reference quirk, genereate_dataset.py:18-19),
+    so an oversized radius silently places sources outside the room (or
+    snaps them onto a wall) and invalidates the image-source geometry and
+    the static image culling — validate against this before synthesizing
+    at a non-default radius."""
+    rx, ry = config.receiver_position[0], config.receiver_position[1]
+    lx, ly = config.room_dimensions[0], config.room_dimensions[1]
+    return float(min(rx, lx - rx, ry, ly - ry))
 
 
 class SampleBatch(struct.PyTreeNode):
@@ -209,9 +223,7 @@ def synthesize_batch(
         raise ValueError("given radius excludes radius_range")
     if radius_range is not None:
         lo, hi = float(radius_range[0]), float(radius_range[1])
-        rx, ry = config.receiver_position[0], config.receiver_position[1]
-        lx, ly = config.room_dimensions[0], config.room_dimensions[1]
-        max_r = min(rx, lx - rx, ry, ly - ry)
+        max_r = max_source_radius(config)
         if not 0.0 < lo <= hi:
             raise ValueError(f"radius_range must satisfy 0 < lo <= hi, got {radius_range}")
         if hi >= max_r:
@@ -392,17 +404,6 @@ def make_dataset(
                 f"{config.audio_samples}"
             )
 
-    # Assemble into a PREALLOCATED buffer with a donating jitted insert: the
-    # peak footprint is dataset + one batch. (Keeping every sub-batch alive
-    # and concatenating at the end doubles the peak — 8 GB transient for a
-    # 20k bf16 set — and OOMs the chip.)
-    @functools.partial(jax.jit, donate_argnums=0)
-    def _insert(buf, chunk, start):
-        return jax.tree_util.tree_map(
-            lambda o, c: jax.lax.dynamic_update_slice_in_dim(o, c, start, axis=0),
-            buf, chunk,
-        )
-
     buf = None
     for i in range(0, size, batch):
         key, sub = jax.random.split(key)
@@ -427,6 +428,21 @@ def make_dataset(
             )
         buf = _insert(buf, made, jnp.int32(i))
     return _pin_default_layout(buf)
+
+
+# Assemble into a PREALLOCATED buffer with a donating jitted insert: the
+# peak footprint is dataset + one batch. (Keeping every sub-batch alive
+# and concatenating at the end doubles the peak — 8 GB transient for a
+# 20k bf16 set — and OOMs the chip.) Module-level so jit's cache persists
+# across make_dataset calls: a host-staged 20k build calls make_dataset
+# once per chunk, and a closure-local jit would recompile the identical
+# insert program every time through the slow remote-compile tunnel.
+@functools.partial(jax.jit, donate_argnums=0)
+def _insert(buf, chunk, start):
+    return jax.tree_util.tree_map(
+        lambda o, c: jax.lax.dynamic_update_slice_in_dim(o, c, start, axis=0),
+        buf, chunk,
+    )
 
 
 def _pin_default_layout(tree):

@@ -740,7 +740,13 @@ class Trainer:
 
     def save_checkpoint(self, state: TrainState, tag: str, final: bool = False):
         step = int(jax.device_get(state.step))
-        tree = {"params": state.params, "opt_state": state.opt_state}
+        # rng rides along so a resumed run continues the key STREAM exactly
+        # where it stopped: without it, a same-seed resume replays the
+        # per-step sampling/synthesis keys from step 0 (the loop splits
+        # state.rng sequentially), quietly re-training on already-seen
+        # batches. With it, preempt+resume is bit-identical to an
+        # uninterrupted run (tests/test_preemption.py).
+        tree = {"params": state.params, "opt_state": state.opt_state, "rng": state.rng}
         if state.variables:
             tree["variables"] = state.variables
         # Eval-relevant task configuration rides in the manifest so
@@ -748,7 +754,7 @@ class Trainer:
         # self-configure without the user restating training flags. The VQ
         # flatten mode in particular is shape-invisible: both modes produce
         # identical param trees but different code assignments.
-        meta: dict = {"task": self.task.name, "final": final}
+        meta: dict = {"task": self.task.name, "final": final, "has_rng": True}
         for attr in ("compat_vq_flatten", "input_mode", "target_mode", "predict_radius"):
             if hasattr(self.task, attr):
                 v = getattr(self.task, attr)
@@ -781,11 +787,22 @@ class Trainer:
         template = {"params": template_state.params, "opt_state": template_state.opt_state}
         if template_state.variables:
             template["variables"] = template_state.variables
+        # has_rng marks checkpoints that carry the key stream (save_checkpoint);
+        # the template must match the saved structure, so gate on the manifest.
+        if self.store.stage_metadata(best[0]).get("has_rng"):
+            template["rng"] = template_state.rng
         tree = self.store.load_stage(best[0], template=template)
+        rng = tree.get("rng")
+        if rng is None:
+            # Pre-rng checkpoint: we cannot recover the stream, but folding
+            # the restored step in at least makes the resumed stream disjoint
+            # from the prefix the original run already consumed.
+            rng = jax.random.fold_in(template_state.rng, int(best[1]))
         state = template_state.replace(
             step=jnp.asarray(best[1], jnp.int32),
             params=tree["params"],
             opt_state=tree["opt_state"],
+            rng=rng,
             variables=tree.get("variables", template_state.variables),
         )
         return state, int(best[1])

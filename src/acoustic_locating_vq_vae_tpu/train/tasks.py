@@ -678,7 +678,9 @@ class JointLocationTask(Task):
         )
         out_dim = 2 if self.target_mode == "sincos" else self.output_dim
         if self.predict_radius:
-            out_dim += 1  # trailing column: source radius in units of config.R
+            out_dim += 1  # trailing column: source radius in METERS (loss,
+            # decode_radius, and eval all use raw meters — deliberately NOT
+            # normalized by config.R, so eval tools can swap condition configs)
         return JointLocationModel(rir_model=rir_model, output_dim=out_dim)
 
     @staticmethod

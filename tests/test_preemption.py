@@ -142,3 +142,65 @@ def test_real_sigterm_to_training_script_then_cli_resume(tmp_path):
     assert f"resumed at step {saved}" in res.stdout
     final_meta = json.load(open(tmp_path / "manifest.json"))["speech"]["metadata"]
     assert final_meta["final"] is True
+
+
+def test_resume_continues_the_rng_stream_exactly(datasets, tmp_path):
+    """Checkpoints carry state.rng, so preempt-at-5 + resume reproduces the
+    UNINTERRUPTED 10-update run bit-exactly — without it a same-seed resume
+    replays the per-step sampling keys from step 0 (re-training on batches
+    already seen) and diverges from the uninterrupted run."""
+    train, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+
+    straight = Trainer(task, verbose=False)
+    s0 = straight.init_state(jax.random.PRNGKey(2), train)
+    s_ref, _ = straight.fit(s0, train, None, num_updates=10)
+
+    tr = Trainer(task, checkpoint_dir=str(tmp_path), verbose=False)
+    state = tr.init_state(jax.random.PRNGKey(2), train)
+    orig_step, n = tr._step_fn, [0]
+
+    def stepping(*a, **kw):
+        n[0] += 1
+        if n[0] == 5:
+            tr.request_preemption()
+        return orig_step(*a, **kw)
+
+    tr._step_fn = stepping
+    with pytest.raises(Preempted):
+        tr.fit(state, train, None, num_updates=10)
+
+    tr2 = Trainer(task, checkpoint_dir=str(tmp_path), verbose=False)
+    s2 = tr2.init_state(jax.random.PRNGKey(2), train)
+    s_res, _ = tr2.fit(s2, train, None, num_updates=10, resume=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(s_res.rng)), np.asarray(jax.device_get(s_ref.rng))
+    )
+    ref_leaves = jax.tree_util.tree_leaves(jax.device_get(s_ref.params))
+    res_leaves = jax.tree_util.tree_leaves(jax.device_get(s_res.params))
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_pre_rng_checkpoint_falls_back_to_fold_in(datasets, tmp_path):
+    """Stores written before checkpoints carried the rng (no has_rng in the
+    manifest metadata) still restore — with a stream folded off the restored
+    step so it at least diverges from the already-consumed prefix."""
+    train, val = datasets
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8)
+    tr = Trainer(task, checkpoint_dir=str(tmp_path), verbose=False)
+    state = tr.init_state(jax.random.PRNGKey(2), train)
+    # emulate an old checkpoint: same tree minus rng, no has_rng marker
+    tr.store.save_stage(
+        "speech_4",
+        {"params": state.params, "opt_state": state.opt_state},
+        step=4, metadata={"task": "speech"},
+    )
+    restored, completed = tr.restore_latest(state)
+    assert completed == 4
+    assert int(jax.device_get(restored.step)) == 4
+    assert not np.array_equal(
+        np.asarray(jax.device_get(restored.rng)),
+        np.asarray(jax.device_get(state.rng)),
+    )
