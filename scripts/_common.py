@@ -130,6 +130,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "(genereate_dataset.py:17); labels stay angular. Excludes --rir-bank",
     )
     p.add_argument(
+        "--snr-range", type=float, nargs=2, default=None, metavar=("LO", "HI"),
+        help="per-sample sensor-noise augmentation: white noise added to the "
+        "echoed waveform at SNR ~ U(LO, HI) dB in synthesized data (the "
+        "reference's generator is noiseless, genereate_dataset.py:21-31); "
+        "composes with --rt60-range/--radius-range/--rir-bank",
+    )
+    p.add_argument(
         "--dataset-bf16", action="store_true",
         help="store synthesized dataset spectra in bfloat16 (half the HBM; "
         "decompressed to f32 per sampled batch) — for 20k-scale sets",
@@ -269,6 +276,8 @@ def setup(args, resident_fields=None):
         synth_kw["rt60_range"] = tuple(args.rt60_range)
     if getattr(args, "radius_range", None):
         synth_kw["radius_range"] = tuple(args.radius_range)
+    if getattr(args, "snr_range", None):
+        synth_kw["snr_range"] = tuple(args.snr_range)
     if getattr(args, "rir_bank", 0) and not (
         synth_train or synth_val or getattr(args, "on_the_fly", False)
     ):

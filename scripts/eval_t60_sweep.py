@@ -31,6 +31,13 @@ def main():
         "the geometry-shift companion to the T60 sweep)",
     )
     p.add_argument(
+        "--snr-grid", type=float, nargs="+", default=None,
+        help="sensor-noise SNRs in dB to cross with the T60 grid (default: "
+        "noiseless, the reference's generator; each condition adds white "
+        "noise to the echoed waveform at exactly that SNR — the "
+        "noise-robustness companion to the T60 sweep)",
+    )
+    p.add_argument(
         "--model", choices=["auto", "joint", "frozen"], default="auto",
         help="joint fine-tuned stage, frozen location head, or auto",
     )
@@ -65,8 +72,11 @@ def main():
             "at the upper walls, so the sweep would silently evaluate wrong "
             "geometry"
         )
-    conditions = [(t, r) for t in args.t60_grid for r in radius_grid]
-    for i, (t60, radius) in enumerate(conditions):
+    snr_grid = args.snr_grid or [None]
+    conditions = [
+        (t, r, s) for t in args.t60_grid for r in radius_grid for s in snr_grid
+    ]
+    for i, (t60, radius, snr) in enumerate(conditions):
         cfg = dataclasses.replace(
             config, reverberation_time=float(t60), R=float(radius)
         )
@@ -74,14 +84,19 @@ def main():
         batch = D.make_dataset(
             jax.random.PRNGKey(args.seed + 1000 + i), n, cfg, batch=min(n, 50),
             speech_pool=getattr(args, "_speech_pool", None),
+            **({} if snr is None else {"snr_range": (float(snr), float(snr))}),
         )
         if use_joint:
             m = evaluate_joint_location(cond_task, params, batch)
         else:
             m = evaluate_location(cond_task, params, composite_params, batch)
-        label = f"{t60:g}" if args.radius_grid is None else f"t60={t60:g},R={radius:g}"
+        label = f"{t60:g}"
+        if args.radius_grid is not None:
+            label = f"t60={t60:g},R={radius:g}"
+        if snr is not None:
+            label += f",snr={snr:g}dB"
         results[label] = m
-        print(f"{label if args.radius_grid else f'T60={label}'}: "
+        print(f"{label if (args.radius_grid or args.snr_grid) else f'T60={label}'}: "
               f"{json.dumps(m)}", flush=True)
 
     rmses = [m["rmse_radians"] for m in results.values()]
@@ -91,6 +106,9 @@ def main():
                 "model": "joint" if use_joint else "frozen",
                 "t60_grid": [float(t) for t in args.t60_grid],
                 "radius_grid": [float(r) for r in radius_grid],
+                "snr_grid_db": None
+                if args.snr_grid is None
+                else [float(s) for s in snr_grid],
                 "rmse_radians_min": min(rmses),
                 "rmse_radians_max": max(rmses),
             }

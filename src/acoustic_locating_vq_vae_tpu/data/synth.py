@@ -142,7 +142,7 @@ def make_rir_bank(
     jax.jit,
     static_argnames=(
         "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk",
-        "rt60_range", "radius_range",
+        "rt60_range", "radius_range", "snr_range",
     ),
 )
 def synthesize_batch(
@@ -158,6 +158,7 @@ def synthesize_batch(
     radius_range: Optional[tuple] = None,
     theta: Optional[jnp.ndarray] = None,
     radius: Optional[jnp.ndarray] = None,
+    snr_range: Optional[tuple] = None,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -203,6 +204,18 @@ def synthesize_batch(
     excludes ``rir_bank`` (bank labels are grid-snapped — synthesize
     exactly instead); given ``radius`` excludes ``radius_range`` and the
     caller owns the in-room validation that ``radius_range`` would do.
+
+    ``snr_range``: optional (lo, hi) tuple in dB — per-sample white sensor
+    noise added to the ECHOED waveform at SNR ~ U(lo, hi) before its STFT
+    (framework extra; the reference's generator is noiseless,
+    genereate_dataset.py:21-31). Models microphone/measurement noise: the
+    observed quantities (echoed_spec, and the rir_spec / wiener_est ratios
+    derived from it) see the noise, the clean-source ``speech_spec`` does
+    not. SNR is measured against the per-sample echoed-signal power. The
+    noise streams are ``fold_in``-derived, so theta/speech/T60/radius draws
+    are identical to an un-noised run with the same key; composes with
+    every other option (``rir_bank``, ``rt60_range``, ``radius_range``,
+    given geometry).
     """
     if rir_bank is not None and rt60_range is not None:
         raise ValueError(
@@ -235,6 +248,10 @@ def synthesize_batch(
                 "image-source geometry and static image culling would be "
                 "silently wrong"
             )
+    if snr_range is not None:
+        lo, hi = float(snr_range[0]), float(snr_range[1])
+        if not lo <= hi:
+            raise ValueError(f"snr_range must satisfy lo <= hi, got {snr_range}")
     if rir_bank is not None and rir_bank.shape[-1] != config.n_sample:
         raise ValueError(
             f"rir_bank n_sample {rir_bank.shape[-1]} != config.n_sample "
@@ -318,6 +335,17 @@ def synthesize_batch(
             h = jax.vmap(rir_fn)(src)
 
     echoed = fft_convolve(speech, h, mode="same")
+    if snr_range is not None:
+        # fold_in-derived streams (like the radius draw above) keep every
+        # other random stream identical to an un-noised run with this key
+        snr_db = jax.random.uniform(
+            jax.random.fold_in(key, 11), (batch,),
+            minval=float(snr_range[0]), maxval=float(snr_range[1]),
+        )
+        noise = jax.random.normal(jax.random.fold_in(key, 13), echoed.shape)
+        p_sig = jnp.mean(jnp.square(echoed), axis=-1)
+        noise_std = jnp.sqrt(p_sig * jnp.power(10.0, -snr_db / 10.0))
+        echoed = echoed + noise_std[:, None] * noise
 
     stft_kw = dict(n_fft=config.NFFT, hop_length=config.HOP_LENGTH, power=None, normalized=True)
     speech_spec = spectrogram(speech, **stft_kw)  # complex (B, F, T)
