@@ -1,0 +1,85 @@
+"""Export a trained localizer from a stage store as a self-contained AOT
+serving artifact (StableHLO via jax.export): echoed power spectrogram in,
+(angle, radius, 3-D coordinates) out, weights embedded, symbolic batch
+dimension — then reload it and verify against the live model on fresh
+synthesized data.
+
+Deployment counterpart the reference never shipped (its artifacts are
+whole-module torch pickles, compare_location_models.py:36-41, which need
+the original class code to unpickle); the exported program needs only jax.
+"""
+
+import json
+
+import numpy as np
+
+from _common import base_parser, build_localizer, setup
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--out-dir", required=True, help="artifact output directory")
+    p.add_argument(
+        "--model", choices=["auto", "joint", "frozen"], default="auto",
+        help="which localizer stage to export (auto = joint when present)",
+    )
+    p.add_argument(
+        "--export-batch", type=int, default=None,
+        help="pin the exported batch size (default: symbolic — one artifact "
+        "serves any batch size)",
+    )
+    p.add_argument(
+        "--export-platforms", nargs="+", default=["tpu", "cpu"],
+        help="backends to lower for (cross-lowering needs no physical "
+        "device: a CPU host can produce a TPU artifact)",
+    )
+    p.add_argument(
+        "--verify-n", type=int, default=8,
+        help="synthesized samples for the reload-and-compare check",
+    )
+    args = p.parse_args()
+    args.val_size = 0
+    args.dataset_size = max(2, args.verify_n)
+    config, mesh, train, _ = setup(args)
+
+    import jax
+
+    from acoustic_locating_vq_vae_tpu.eval import export_localizer, load_localizer
+    from acoustic_locating_vq_vae_tpu.train import Trainer  # noqa: F401 (store deps)
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+    from _common import load_localizer_stages
+
+    store = StageStore(args.store_dir)
+    task, params, composite_params, use_joint = load_localizer_stages(
+        args, config, store
+    )
+    meta = export_localizer(
+        task, params, composite_params, use_joint, config, args.out_dir,
+        batch_size=args.export_batch, platforms=tuple(args.export_platforms),
+    )
+    print(f"exported {meta['model']} localizer -> {args.out_dir} "
+          f"({meta['bytes']} bytes, platforms {meta['platforms']})", flush=True)
+
+    # Reload the artifact cold and compare against the live model.
+    call, meta2 = load_localizer(args.out_dir)
+    from acoustic_locating_vq_vae_tpu.eval.serving import make_serving_fn
+
+    serve, _ = make_serving_fn(task, params, composite_params, use_joint, config)
+    batch = jax.tree_util.tree_map(lambda a: a[: args.verify_n], train)
+    spec = batch.echoed_spec
+    live = [np.asarray(x) for x in jax.jit(serve)(spec)]
+    art = [np.asarray(x) for x in call(spec)]
+    diffs = [float(np.max(np.abs(a - b))) for a, b in zip(live, art)]
+    names = meta2["outputs"]
+    ok = all(d < 1e-4 for d in diffs)
+    print(json.dumps({
+        "verified": ok,
+        "max_abs_diff": dict(zip(names, diffs)),
+        "theta_pred_rad": [round(float(t), 4) for t in art[0]],
+    }))
+    if not ok:
+        raise SystemExit("artifact output diverges from the live model")
+
+
+if __name__ == "__main__":
+    main()

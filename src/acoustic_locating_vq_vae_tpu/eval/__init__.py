@@ -10,6 +10,7 @@ from .compare import (
 )
 from .latents import collect_encodings, linear_angle_probe, tsne_rir_embedding
 from .resynth import audio_from_complex_spec, audio_from_power_spec, spectral_snr_db, write_wav
+from .serving import export_localizer, load_localizer, make_serving_fn
 from .tracking import (
     alpha_beta_filter,
     arc_trajectory,
@@ -36,4 +37,7 @@ __all__ = [
     "audio_from_power_spec",
     "spectral_snr_db",
     "write_wav",
+    "export_localizer",
+    "load_localizer",
+    "make_serving_fn",
 ]

@@ -1,0 +1,145 @@
+"""AOT serving export: the trained localizer as ONE serialized program.
+
+``export_localizer`` lowers the full inference path — echoed POWER
+spectrogram in, (angle, source radius, 3-D coordinates) out, weights
+embedded as constants — through :func:`jax.export.export` and writes the
+StableHLO artifact plus a JSON sidecar. ``load_localizer`` restores a
+callable from the artifact alone: deployment needs NO model classes, task
+objects, or checkpoint store — just jax. The batch dimension is exported
+symbolically by default, so one artifact serves any batch size.
+
+Reference counterpart: none — the reference stops at training scripts and
+whole-module torch pickles (compare_location_models.py:36-41), which
+require the original class code at unpickle time and a torch runtime.
+This is the TPU-native deployment story: a compiler-level artifact
+(StableHLO) that runs on any platform it was lowered for (tpu + cpu by
+default) with jax's forward-compatibility guarantees.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from types import SimpleNamespace
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp import source_coordinates, znorm
+
+__all__ = ["make_serving_fn", "export_localizer", "load_localizer"]
+
+SERVING_BLOB = "localizer.stablehlo"
+SERVING_META = "serving.json"
+
+
+def make_serving_fn(task, params, composite_params, use_joint, config):
+    """Build the end-to-end inference closure the export serializes.
+
+    Returns ``(serve, predicts_radius)`` where ``serve`` maps an echoed
+    power spectrogram ``(B, num_freq, num_frames)`` (the deployment
+    observable — what a microphone's STFT produces) to a
+    ``(theta_rad, radius_m, coords_m)`` tuple: angle in radians, source
+    radius in meters (the range head's prediction when the model has one,
+    else the config's fixed ``R``), and 3-D source coordinates from the
+    config's receiver/room geometry. Parameters are closed over, so the
+    exported program is self-contained."""
+    receiver = jnp.asarray(config.receiver_position, jnp.float32)
+    room = jnp.asarray(config.room_dimensions, jnp.float32)
+    model = task.build_model()
+    predicts_radius = bool(getattr(task, "predict_radius", False))
+
+    if use_joint:
+
+        def raw(spec):
+            x = jnp.swapaxes(znorm(spec, axis=1), 1, 2)
+            return model.apply({"params": params}, x)[0]
+
+    else:
+        composite = task.build_composite()
+
+        def raw(spec):
+            # encodings_from_composite only reads .echoed_spec (tasks.py:460)
+            feats = task.encodings_from_composite(
+                composite, composite_params, SimpleNamespace(echoed_spec=spec)
+            )
+            return model.apply({"params": params}, feats)
+
+    def serve(spec):
+        pred = raw(spec)
+        theta = task.decode_angle(pred).reshape(-1)
+        if predicts_radius:
+            radius = task.decode_radius(pred).reshape(-1)
+        else:
+            radius = jnp.full(theta.shape, jnp.float32(config.R))
+        coords = source_coordinates(
+            theta, receiver, room, radius, config.Z_LOC_SOURCE
+        )
+        return theta, radius, coords
+
+    return serve, predicts_radius
+
+
+def export_localizer(
+    task,
+    params,
+    composite_params,
+    use_joint,
+    config,
+    out_dir: str,
+    batch_size: Optional[int] = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> dict:
+    """Serialize the localizer's inference program to ``out_dir``.
+
+    ``batch_size=None`` (default) exports a SYMBOLIC batch dimension — one
+    artifact serves any batch size; an int pins it (marginally smaller /
+    stricter artifact). ``platforms`` lists the backends the program is
+    lowered for (cross-lowering needs no physical device, so a CPU host can
+    produce a TPU-serving artifact). Writes ``localizer.stablehlo`` and a
+    ``serving.json`` sidecar; returns the sidecar dict."""
+    serve, predicts_radius = make_serving_fn(
+        task, params, composite_params, use_joint, config
+    )
+    if batch_size is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = int(batch_size)
+    arg = jax.ShapeDtypeStruct(
+        (b, config.num_freq, config.num_frames), jnp.float32
+    )
+    exported = jax.export.export(jax.jit(serve), platforms=list(platforms))(arg)
+    blob = exported.serialize()
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, SERVING_BLOB), "wb") as f:
+        f.write(blob)
+    meta = {
+        "input": {
+            "name": "echoed_power_spectrogram",
+            "shape": ["b" if batch_size is None else int(batch_size),
+                      int(config.num_freq), int(config.num_frames)],
+            "dtype": "float32",
+        },
+        "outputs": ["theta_rad", "radius_m", "coords_m"],
+        "model": "joint" if use_joint else "frozen",
+        "predicts_radius": predicts_radius,
+        "platforms": list(platforms),
+        "bytes": len(blob),
+        "geometry": config.to_reference_dict(),
+    }
+    with open(os.path.join(out_dir, SERVING_META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def load_localizer(path: str) -> Tuple:
+    """Restore ``(call, meta)`` from an :func:`export_localizer` directory.
+    ``call(spec)`` runs the deserialized program on the current platform
+    (which must be one of ``meta['platforms']``); no model code needed."""
+    with open(os.path.join(path, SERVING_META)) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, SERVING_BLOB), "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    return exported.call, meta
