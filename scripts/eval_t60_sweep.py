@@ -42,6 +42,13 @@ def main():
         help="joint fine-tuned stage, frozen location head, or auto",
     )
     args = p.parse_args()
+    if getattr(args, "snr_range", None):
+        print(
+            "note: --snr-range is a TRAINING-data flag and is ignored by the "
+            "per-condition sweep synthesis — use --snr-grid to evaluate at "
+            "exact noise levels",
+            flush=True,
+        )
     args.val_size = 0  # conditions are synthesized per-T60 below
     args.dataset_size = 1
     config, mesh, _, _ = setup(args)
@@ -90,13 +97,16 @@ def main():
             m = evaluate_joint_location(cond_task, params, batch)
         else:
             m = evaluate_location(cond_task, params, composite_params, batch)
-        label = f"{t60:g}"
+        # bare "0.4" keys when only the T60 axis is swept (round-2 format);
+        # explicit "t60=..." keys as soon as any other axis joins the grid
+        extra_axes = args.radius_grid is not None or snr is not None
+        label = f"t60={t60:g}" if extra_axes else f"{t60:g}"
         if args.radius_grid is not None:
-            label = f"t60={t60:g},R={radius:g}"
+            label += f",R={radius:g}"
         if snr is not None:
             label += f",snr={snr:g}dB"
         results[label] = m
-        print(f"{label if (args.radius_grid or args.snr_grid) else f'T60={label}'}: "
+        print(f"{label if extra_axes else f'T60={label}'}: "
               f"{json.dumps(m)}", flush=True)
 
     rmses = [m["rmse_radians"] for m in results.values()]

@@ -13,7 +13,7 @@ import json
 
 import numpy as np
 
-from _common import base_parser, build_localizer, setup
+from _common import base_parser, setup
 
 
 def main():
@@ -40,6 +40,14 @@ def main():
     args = p.parse_args()
     args.val_size = 0
     args.dataset_size = max(2, args.verify_n)
+    # The tiny verify batch must be a plain f32-resident SampleBatch: the
+    # exported artifact's input is declared float32, and a HostStagedDataset
+    # isn't sliceable — both flags are dataset-scale knobs meaningless here.
+    if getattr(args, "dataset_bf16", False) or getattr(args, "host_staged", 0):
+        print("note: --dataset-bf16/--host-staged ignored for the export's "
+              "verify batch", flush=True)
+        args.dataset_bf16 = False
+        args.host_staged = 0
     config, mesh, train, _ = setup(args)
 
     import jax
@@ -53,18 +61,20 @@ def main():
     task, params, composite_params, use_joint = load_localizer_stages(
         args, config, store
     )
+    from acoustic_locating_vq_vae_tpu.eval.serving import make_serving_fn
+
+    # one closure, serialized AND compared against — they can't diverge
+    serve, _ = make_serving_fn(task, params, composite_params, use_joint, config)
     meta = export_localizer(
         task, params, composite_params, use_joint, config, args.out_dir,
         batch_size=args.export_batch, platforms=tuple(args.export_platforms),
+        serve_fn=serve,
     )
     print(f"exported {meta['model']} localizer -> {args.out_dir} "
           f"({meta['bytes']} bytes, platforms {meta['platforms']})", flush=True)
 
     # Reload the artifact cold and compare against the live model.
     call, meta2 = load_localizer(args.out_dir)
-    from acoustic_locating_vq_vae_tpu.eval.serving import make_serving_fn
-
-    serve, _ = make_serving_fn(task, params, composite_params, use_joint, config)
     batch = jax.tree_util.tree_map(lambda a: a[: args.verify_n], train)
     spec = batch.echoed_spec
     live = [np.asarray(x) for x in jax.jit(serve)(spec)]

@@ -26,7 +26,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..dsp import source_coordinates, znorm
+from ..dsp import source_coordinates
 
 __all__ = ["make_serving_fn", "export_localizer", "load_localizer"]
 
@@ -53,7 +53,9 @@ def make_serving_fn(task, params, composite_params, use_joint, config):
     if use_joint:
 
         def raw(spec):
-            x = jnp.swapaxes(znorm(spec, axis=1), 1, 2)
+            # reuse the task's input pipeline (tasks.py:700) so train-time
+            # preprocessing and the exported artifact can never diverge
+            (x,) = task.model_inputs(SimpleNamespace(echoed_spec=spec))
             return model.apply({"params": params}, x)[0]
 
     else:
@@ -90,6 +92,7 @@ def export_localizer(
     out_dir: str,
     batch_size: Optional[int] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    serve_fn=None,
 ) -> dict:
     """Serialize the localizer's inference program to ``out_dir``.
 
@@ -98,10 +101,19 @@ def export_localizer(
     stricter artifact). ``platforms`` lists the backends the program is
     lowered for (cross-lowering needs no physical device, so a CPU host can
     produce a TPU-serving artifact). Writes ``localizer.stablehlo`` and a
-    ``serving.json`` sidecar; returns the sidecar dict."""
-    serve, predicts_radius = make_serving_fn(
-        task, params, composite_params, use_joint, config
-    )
+    ``serving.json`` sidecar; returns the sidecar dict.
+
+    ``serve_fn``: optional prebuilt closure from :func:`make_serving_fn` —
+    callers that also run the closure directly (e.g. the export script's
+    reload-and-compare check) pass it in so the serialized program and the
+    live comparison are guaranteed to be the same object."""
+    if serve_fn is None:
+        serve_fn, predicts_radius = make_serving_fn(
+            task, params, composite_params, use_joint, config
+        )
+    else:
+        predicts_radius = bool(getattr(task, "predict_radius", False))
+    serve = serve_fn
     if batch_size is None:
         (b,) = jax.export.symbolic_shape("b")
     else:
