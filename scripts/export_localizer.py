@@ -37,6 +37,13 @@ def main():
         "--verify-n", type=int, default=8,
         help="synthesized samples for the reload-and-compare check",
     )
+    p.add_argument(
+        "--latency", type=int, default=0, metavar="K",
+        help="serving benchmark on the DESERIALIZED artifact: time K "
+        "dispatches at batch --verify-n (distinct scaled inputs + "
+        "value-fetch barriers — the TPU tunnel memoizes identical "
+        "dispatches; see locate.py --latency, same discipline)",
+    )
     args = p.parse_args()
     args.val_size = 0
     args.dataset_size = max(2, args.verify_n)
@@ -82,11 +89,41 @@ def main():
     diffs = [float(np.max(np.abs(a - b))) for a, b in zip(live, art)]
     names = meta2["outputs"]
     ok = all(d < 1e-4 for d in diffs)
-    print(json.dumps({
+    out = {
         "verified": ok,
         "max_abs_diff": dict(zip(names, diffs)),
         "theta_pred_rad": [round(float(t), 4) for t in art[0]],
-    }))
+    }
+
+    if args.latency > 0:
+        import time
+
+        import jax.numpy as jnp
+
+        variants = [
+            jax.device_put(spec * np.float32(1.0 + 1e-4 * (i + 1)))
+            for i in range(args.latency + 1)
+        ]
+        for v in variants:
+            jax.block_until_ready(v)
+        _ = float(jnp.sum(call(variants[-1])[2]))  # warm
+        times = []
+        for v in variants[: args.latency]:
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(call(v)[2]))
+            times.append(time.perf_counter() - t0)
+        times_ms = sorted(1e3 * t for t in times)
+        n = int(spec.shape[0])
+        out["artifact_latency"] = {
+            "batch": n,
+            "iters": int(args.latency),
+            "mean_ms": round(float(np.mean(times_ms)), 2),
+            "p50_ms": round(float(times_ms[len(times_ms) // 2]), 2),
+            "min_ms": round(float(times_ms[0]), 2),
+            "samples_per_s": round(n / float(np.mean(times)), 1),
+        }
+
+    print(json.dumps(out))
     if not ok:
         raise SystemExit("artifact output diverges from the live model")
 
