@@ -160,6 +160,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="chunk rotation cadence for --host-staged",
     )
     p.add_argument(
+        "--keep-checkpoints", type=int, default=0, metavar="N",
+        help="periodic-checkpoint garbage collection: keep only the newest N "
+        "per-stage periodic checkpoints (finals always kept; resume uses the "
+        "newest, so any N >= 1 stays resumable). Default 0 keeps everything "
+        "(reference-like, ~200 MB per full-config checkpoint)",
+    )
+    p.add_argument(
         "--rir-bank", type=int, default=0, metavar="N_THETA",
         help="precompute an N_THETA-angle RIR bank once and draw per-sample "
         "RIRs from it (grid labels; spacing 2pi/N) instead of running "
@@ -477,6 +484,7 @@ def trainer_kwargs(args):
         on_the_fly=getattr(args, "on_the_fly", False),
         profile_dir=getattr(args, "profile_dir", None),
         cache_frozen=getattr(args, "cache_frozen", False),
+        keep_checkpoints=getattr(args, "keep_checkpoints", 0),
     )
     # setup() always records the resolved synthesis kwargs (incl. a built
     # RIR bank) on args; scripts call it before trainer_kwargs.

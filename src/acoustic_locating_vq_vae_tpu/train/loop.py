@@ -136,6 +136,7 @@ class Trainer:
         synth_kwargs: Optional[Dict] = None,
         profile_dir: Optional[str] = None,
         cache_frozen: bool = False,
+        keep_checkpoints: int = 0,
     ):
         """``on_the_fly=True`` synthesizes a FRESH training batch inside every
         jitted step (data/synth.py fused into the step program) instead of
@@ -179,6 +180,13 @@ class Trainer:
         # torch.optim.Adam defaults (amsgrad=False), train_speech.py:154.
         self.optimizer = optimizer or optax.adam(task.learning_rate)
         self.store = StageStore(checkpoint_dir) if checkpoint_dir else None
+        # Periodic-checkpoint GC: keep only the newest N periodic ("<task>_<i>")
+        # checkpoints of this task, deleting older ones after each save. 0 =
+        # keep everything (reference-like; train_speech.py:117-118 pickles
+        # every 1000 updates unboundedly — ~200 MB per full-config checkpoint,
+        # 29 GB for one six-stage pipeline run). Finals are never GC'd, and
+        # resume always uses the newest, so any N >= 1 stays resumable.
+        self.keep_checkpoints = int(keep_checkpoints)
         self.log_every = log_every
         self.val_replaces_train = val_replaces_train
         self.verbose = verbose
@@ -767,6 +775,16 @@ class Trainer:
                     v = bool(v)
                 meta[attr] = v
         self.store.save_stage(tag, tree, step=step, metadata=meta)
+        if not final and self.keep_checkpoints > 0:
+            prefix = f"{self.task.name}_"
+            periodic = sorted(
+                (t, m["step"])
+                for t, m in self.store.stages().items()
+                if t.startswith(prefix) and t[len(prefix):].isdigit()
+            )
+            periodic.sort(key=lambda x: x[1])
+            for t, _ in periodic[: -self.keep_checkpoints]:
+                self.store.delete_stage(t)
 
     def load_stage_params(self, name: str):
         return self.store.load_stage(name)["params"]
@@ -798,11 +816,18 @@ class Trainer:
             # the restored step in at least makes the resumed stream disjoint
             # from the prefix the original run already consumed.
             rng = jax.random.fold_in(template_state.rng, int(best[1]))
+        # Explicitly replicate the host-built step (and the rng) over the
+        # mesh: the restored params/opt_state come back COMMITTED to the
+        # template's mesh sharding, and mixing them with a single-device
+        # committed scalar fails jit's placement check on the first resumed
+        # step ("incompatible devices", seen on CLI --resume under a
+        # multi-device mesh).
+        rep = replicated(self.mesh)
         state = template_state.replace(
-            step=jnp.asarray(best[1], jnp.int32),
+            step=jax.device_put(jnp.asarray(best[1], jnp.int32), rep),
             params=tree["params"],
             opt_state=tree["opt_state"],
-            rng=rng,
+            rng=jax.device_put(rng, rep),
             variables=tree.get("variables", template_state.variables),
         )
         return state, int(best[1])

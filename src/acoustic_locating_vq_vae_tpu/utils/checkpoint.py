@@ -108,3 +108,22 @@ class StageStore:
 
     def stages(self) -> dict:
         return self._manifest()
+
+    def delete_stage(self, name: str) -> None:
+        """Remove a stage's checkpoint directory and manifest entry (no-op
+        when absent) — the primitive behind periodic-checkpoint garbage
+        collection (``Trainer(keep_checkpoints=N)``). The reference has no
+        counterpart: its training scripts pickle every 1000 updates and keep
+        everything (train_speech.py:117-118), ~200 MB per full-config
+        checkpoint."""
+        import shutil
+
+        m = self._manifest()
+        entry = m.pop(name, None)
+        if entry is None:
+            return
+        path = entry.get("path")
+        if path and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        with open(self.manifest_path, "w") as f:
+            json.dump(m, f, indent=2)

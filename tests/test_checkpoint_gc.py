@@ -1,0 +1,87 @@
+"""Periodic-checkpoint garbage collection (Trainer keep_checkpoints= /
+StageStore.delete_stage): bounded disk growth for long stages — the
+reference pickles every 1000 updates and keeps everything
+(train_speech.py:117-118; a six-stage full-config run accumulates ~29 GB)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from acoustic_locating_vq_vae_tpu import data as D
+from acoustic_locating_vq_vae_tpu.train import SpeechVQVAETask, Trainer
+from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+SMALL = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+WS = 1 / 32
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return D.make_dataset(jax.random.PRNGKey(0), 16, SMALL, batch=16, rir_chunk=2048)
+
+
+def _periodic_tags(store, name="speech"):
+    return sorted(
+        (t for t in store.stages() if t.startswith(f"{name}_") and t[len(name) + 1:].isdigit()),
+        key=lambda t: int(t.split("_")[-1]),
+    )
+
+
+def test_gc_keeps_newest_n_and_final(tmp_path, batch):
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
+    tr = Trainer(
+        task, verbose=False, checkpoint_dir=str(tmp_path), keep_checkpoints=2
+    )
+    st = tr.init_state(jax.random.PRNGKey(1), batch)
+    tr.fit(st, batch, None, num_updates=10)
+
+    store = StageStore(str(tmp_path))
+    assert _periodic_tags(store) == ["speech_8", "speech_10"]
+    assert store.has_stage("speech")  # the final is never GC'd
+    # the deleted checkpoints' directories are gone from disk too
+    stage_dirs = os.listdir(tmp_path / "stages")
+    assert "speech_2" not in stage_dirs and "speech_4" not in stage_dirs
+
+
+def test_gc_preserves_resume(tmp_path, batch):
+    """GC keeps the NEWEST periodic checkpoints, so restore_latest still
+    resumes from the most recent step."""
+    def make():
+        task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
+        tr = Trainer(
+            task, verbose=False, checkpoint_dir=str(tmp_path), keep_checkpoints=1
+        )
+        return tr, tr.init_state(jax.random.PRNGKey(2), batch)
+
+    tr, st = make()
+    st10, _ = tr.fit(st, batch, None, num_updates=10)
+    tr2, st2 = make()
+    restored = tr2.restore_latest(st2)
+    assert restored is not None and restored[1] == 10
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored[0].params["_vq"]["codebook"])),
+        np.asarray(jax.device_get(st10.params["_vq"]["codebook"])),
+    )
+
+
+def test_default_keeps_everything(tmp_path, batch):
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
+    tr = Trainer(task, verbose=False, checkpoint_dir=str(tmp_path))
+    st = tr.init_state(jax.random.PRNGKey(3), batch)
+    tr.fit(st, batch, None, num_updates=6)
+    assert _periodic_tags(StageStore(str(tmp_path))) == [
+        "speech_2", "speech_4", "speech_6",
+    ]
+
+
+def test_delete_stage_is_idempotent(tmp_path):
+    store = StageStore(str(tmp_path))
+    store.save_stage("x", {"a": np.ones(3, np.float32)}, step=1)
+    path = store.stages()["x"]["path"]
+    assert os.path.isdir(path)
+    store.delete_stage("x")
+    assert not store.has_stage("x") and not os.path.isdir(path)
+    store.delete_stage("x")  # absent -> no-op, no raise
