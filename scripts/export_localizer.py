@@ -38,6 +38,12 @@ def main():
         help="synthesized samples for the reload-and-compare check",
     )
     p.add_argument(
+        "--from-audio", action="store_true",
+        help="fuse the STFT frontend into the artifact: input becomes the "
+        "raw echoed waveform (B, config.audio_samples) instead of a power "
+        "spectrogram — one program from microphone samples to coordinates",
+    )
+    p.add_argument(
         "--latency", type=int, default=0, metavar="K",
         help="serving benchmark on the DESERIALIZED artifact: time K "
         "dispatches at batch --verify-n (distinct scaled inputs + "
@@ -71,11 +77,14 @@ def main():
     from acoustic_locating_vq_vae_tpu.eval.serving import make_serving_fn
 
     # one closure, serialized AND compared against — they can't diverge
-    serve, _ = make_serving_fn(task, params, composite_params, use_joint, config)
+    serve, _ = make_serving_fn(
+        task, params, composite_params, use_joint, config,
+        from_audio=args.from_audio,
+    )
     meta = export_localizer(
         task, params, composite_params, use_joint, config, args.out_dir,
         batch_size=args.export_batch, platforms=tuple(args.export_platforms),
-        serve_fn=serve,
+        serve_fn=serve, from_audio=args.from_audio,
     )
     print(f"exported {meta['model']} localizer -> {args.out_dir} "
           f"({meta['bytes']} bytes, platforms {meta['platforms']})", flush=True)
@@ -83,7 +92,18 @@ def main():
     # Reload the artifact cold and compare against the live model.
     call, meta2 = load_localizer(args.out_dir)
     batch = jax.tree_util.tree_map(lambda a: a[: args.verify_n], train)
-    spec = batch.echoed_spec
+    if args.from_audio:
+        # the dataset stores spectrograms, not waveforms — program equality
+        # (artifact vs live closure, shared STFT frontend) is checked on
+        # reproducible surrogate waveforms at the declared input shape
+        spec = np.asarray(
+            np.random.default_rng(args.seed).standard_normal(
+                (args.verify_n, config.audio_samples)
+            ),
+            np.float32,
+        )
+    else:
+        spec = batch.echoed_spec
     live = [np.asarray(x) for x in jax.jit(serve)(spec)]
     art = [np.asarray(x) for x in call(spec)]
     diffs = [float(np.max(np.abs(a - b))) for a, b in zip(live, art)]

@@ -26,7 +26,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..dsp import source_coordinates
+from ..dsp import source_coordinates, spectrogram
 
 __all__ = ["make_serving_fn", "export_localizer", "load_localizer"]
 
@@ -34,7 +34,8 @@ SERVING_BLOB = "localizer.stablehlo"
 SERVING_META = "serving.json"
 
 
-def make_serving_fn(task, params, composite_params, use_joint, config):
+def make_serving_fn(task, params, composite_params, use_joint, config,
+                    from_audio: bool = False):
     """Build the end-to-end inference closure the export serializes.
 
     Returns ``(serve, predicts_radius)`` where ``serve`` maps an echoed
@@ -44,7 +45,13 @@ def make_serving_fn(task, params, composite_params, use_joint, config):
     radius in meters (the range head's prediction when the model has one,
     else the config's fixed ``R``), and 3-D source coordinates from the
     config's receiver/room geometry. Parameters are closed over, so the
-    exported program is self-contained."""
+    exported program is self-contained.
+
+    ``from_audio=True`` fuses the STFT frontend into the program: the input
+    becomes the raw microphone waveform ``(B, config.audio_samples)`` and
+    the spectrogram is computed exactly as the synthesis pipeline does
+    (normalized complex STFT → power → truncate to ``config.num_frames``,
+    data/synth.py) — one artifact from samples to coordinates."""
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
     model = task.build_model()
@@ -68,7 +75,17 @@ def make_serving_fn(task, params, composite_params, use_joint, config):
             )
             return model.apply({"params": params}, feats)
 
-    def serve(spec):
+    def serve(x):
+        if from_audio:
+            # mirror data/synth.py's echoed_spec exactly: normalized complex
+            # STFT, power, truncated to the model's fixed frame count
+            spec = spectrogram(
+                x, n_fft=config.NFFT, hop_length=config.HOP_LENGTH,
+                power=None, normalized=True,
+            )
+            spec = (jnp.abs(spec) ** 2)[..., : config.num_frames]
+        else:
+            spec = x
         pred = raw(spec)
         theta = task.decode_angle(pred).reshape(-1)
         if predicts_radius:
@@ -93,6 +110,7 @@ def export_localizer(
     batch_size: Optional[int] = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
     serve_fn=None,
+    from_audio: bool = False,
 ) -> dict:
     """Serialize the localizer's inference program to ``out_dir``.
 
@@ -109,7 +127,8 @@ def export_localizer(
     live comparison are guaranteed to be the same object."""
     if serve_fn is None:
         serve_fn, predicts_radius = make_serving_fn(
-            task, params, composite_params, use_joint, config
+            task, params, composite_params, use_joint, config,
+            from_audio=from_audio,
         )
     else:
         predicts_radius = bool(getattr(task, "predict_radius", False))
@@ -118,9 +137,12 @@ def export_localizer(
         (b,) = jax.export.symbolic_shape("b")
     else:
         b = int(batch_size)
-    arg = jax.ShapeDtypeStruct(
-        (b, config.num_freq, config.num_frames), jnp.float32
+    in_shape = (
+        (b, config.audio_samples)
+        if from_audio
+        else (b, config.num_freq, config.num_frames)
     )
+    arg = jax.ShapeDtypeStruct(in_shape, jnp.float32)
     exported = jax.export.export(jax.jit(serve), platforms=list(platforms))(arg)
     blob = exported.serialize()
 
@@ -129,9 +151,9 @@ def export_localizer(
         f.write(blob)
     meta = {
         "input": {
-            "name": "echoed_power_spectrogram",
-            "shape": ["b" if batch_size is None else int(batch_size),
-                      int(config.num_freq), int(config.num_frames)],
+            "name": "echoed_waveform" if from_audio else "echoed_power_spectrogram",
+            "shape": ["b" if batch_size is None else int(batch_size)]
+            + [int(d) for d in in_shape[1:]],
             "dtype": "float32",
         },
         "outputs": ["theta_rad", "radius_m", "coords_m"],

@@ -119,6 +119,38 @@ def test_frozen_path_export(tmp_path, batch):
     np.testing.assert_allclose(np.asarray(art[1]), SMALL.R, rtol=1e-6)
 
 
+def test_from_audio_export_fuses_the_stft_frontend(tmp_path, joint):
+    """An audio-input artifact (raw waveform in) reproduces the
+    spectrogram-input path exactly when fed the same signal's STFT — the
+    fused frontend IS data/synth.py's echoed_spec computation."""
+    from acoustic_locating_vq_vae_tpu.dsp import spectrogram
+
+    task, params = joint
+    export_localizer(
+        task, params, None, True, SMALL, str(tmp_path), platforms=("cpu",),
+        from_audio=True,
+    )
+    call, meta = load_localizer(str(tmp_path))
+    assert meta["input"]["name"] == "echoed_waveform"
+    assert meta["input"]["shape"] == ["b", SMALL.audio_samples]
+
+    wav = np.asarray(
+        np.random.default_rng(7).standard_normal((4, SMALL.audio_samples)),
+        np.float32,
+    )
+    art = call(wav)
+
+    spec = spectrogram(
+        jnp.asarray(wav), n_fft=SMALL.NFFT, hop_length=SMALL.HOP_LENGTH,
+        power=None, normalized=True,
+    )
+    spec = (jnp.abs(spec) ** 2)[..., : SMALL.num_frames]
+    serve_spec, _ = make_serving_fn(task, params, None, True, SMALL)
+    live = jax.jit(serve_spec)(spec)
+    for a, b in zip(live, art):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_multiplatform_lowering_includes_tpu(tmp_path, batch, joint):
     """Cross-lowering: a CPU host can produce an artifact that also targets
     TPU (no physical device needed at export time)."""
