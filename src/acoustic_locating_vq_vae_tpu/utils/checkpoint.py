@@ -77,6 +77,19 @@ class StageStore:
                 return json.load(f)
         return {}
 
+    def _stage_path(self, name: str, entry: dict) -> str:
+        """Resolve a stage's checkpoint directory RELOCATABLY: prefer this
+        store's own ``stages/<name>`` when it exists, falling back to the
+        manifest's recorded path. A copied/moved store (``cp -r store new``)
+        carries the ORIGINAL absolute paths in its manifest; resolving
+        against the root first makes the copy self-contained instead of
+        silently reading (or worse, deleting) the original's directories."""
+        local = os.path.join(self.root, "stages", name)
+        if os.path.isdir(local):
+            return local
+        p = entry.get("path", local)
+        return p if os.path.isabs(p) else os.path.join(self.root, p)
+
     def save_stage(self, name: str, params: Any, step: int = 0, metadata: Optional[dict] = None):
         path = os.path.join(self.root, "stages", name)
         save_pytree(path, params)
@@ -95,7 +108,7 @@ class StageStore:
         m = self._manifest()
         if name not in m:
             raise KeyError(f"stage {name!r} not in {self.manifest_path}; have {list(m)}")
-        return load_pytree(m[name]["path"], template)
+        return load_pytree(self._stage_path(name, m[name]), template)
 
     def has_stage(self, name: str) -> bool:
         return name in self._manifest()
@@ -122,8 +135,14 @@ class StageStore:
         entry = m.pop(name, None)
         if entry is None:
             return
-        path = entry.get("path")
-        if path and os.path.isdir(path):
+        path = self._stage_path(name, entry)
+        # Never delete outside this store: a copied store's manifest can
+        # still point at the ORIGINAL's directories (absolute paths) — drop
+        # the manifest entry but leave foreign directories alone.
+        inside = os.path.commonpath(
+            [os.path.abspath(path), self.root]
+        ) == self.root if os.path.isdir(path) else False
+        if inside:
             shutil.rmtree(path, ignore_errors=True)
         with open(self.manifest_path, "w") as f:
             json.dump(m, f, indent=2)

@@ -3,6 +3,7 @@ StageStore.delete_stage): bounded disk growth for long stages — the
 reference pickles every 1000 updates and keeps everything
 (train_speech.py:117-118; a six-stage full-config run accumulates ~29 GB)."""
 
+import json
 import os
 
 import numpy as np
@@ -75,6 +76,48 @@ def test_default_keeps_everything(tmp_path, batch):
     assert _periodic_tags(StageStore(str(tmp_path))) == [
         "speech_2", "speech_4", "speech_6",
     ]
+
+
+def test_copied_store_is_self_contained(tmp_path):
+    """``cp -r store new`` carries the ORIGINAL's absolute paths in the
+    copied manifest; stage resolution must prefer the copy's own stages/
+    directories — loading from the copy must not read the original, and
+    delete_stage on the copy must never delete the original's directories
+    (the exact footgun that motivated this: a prune of a copied run-F store
+    followed manifest paths back into run E)."""
+    import shutil
+
+    a = StageStore(str(tmp_path / "a"))
+    a.save_stage("x", {"w": np.full(4, 7.0, np.float32)}, step=3)
+    shutil.copytree(tmp_path / "a", tmp_path / "b")
+
+    b = StageStore(str(tmp_path / "b"))
+    assert json.load(open(b.manifest_path))["x"]["path"].startswith(str(tmp_path / "a"))
+    tree = b.load_stage("x")
+    np.testing.assert_array_equal(np.asarray(tree["w"]), 7.0)
+
+    # deleting from the copy removes the copy's dir, NOT the original's
+    b.delete_stage("x")
+    assert not b.has_stage("x")
+    assert not os.path.isdir(tmp_path / "b" / "stages" / "x")
+    assert os.path.isdir(tmp_path / "a" / "stages" / "x")
+    a.load_stage("x")  # original intact
+
+
+def test_delete_stage_never_reaches_outside_the_store(tmp_path):
+    """A manifest entry pointing at a foreign directory with NO local copy:
+    delete_stage drops the entry but leaves the foreign directory alone."""
+    a = StageStore(str(tmp_path / "a"))
+    a.save_stage("x", {"w": np.zeros(2, np.float32)}, step=1)
+    foreign = a.stages()["x"]["path"]
+
+    b = StageStore(str(tmp_path / "b"))
+    m = {"x": {"path": foreign, "step": 1, "time": 0, "metadata": {}}}
+    with open(b.manifest_path, "w") as f:
+        json.dump(m, f)
+    b.delete_stage("x")
+    assert not b.has_stage("x")
+    assert os.path.isdir(foreign)
 
 
 def test_delete_stage_is_idempotent(tmp_path):
