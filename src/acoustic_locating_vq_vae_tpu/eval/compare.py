@@ -81,6 +81,22 @@ def infer_target_mode(head_params: Any) -> str:
     return "sincos" if out_dim == 2 else "normalized_angle"
 
 
+def _angle_error_metrics(ang: np.ndarray) -> Dict[str, float]:
+    """Shared wrap-aware angular-error summary. RMSE is heavy-tail
+    sensitive (one 1.4-rad confusion in 200 samples reads as 0.1 rad), so
+    robust companions ride along: the median, a p90, the >0.1 rad outlier
+    fraction, and the >1 rad GROSS-confusion fraction (distinguishes a fat
+    tail of near-misses from rare wholesale angle flips)."""
+    a = np.abs(ang)
+    return {
+        "rmse_radians": float(np.sqrt(np.mean(ang**2))),
+        "median_abs_radians": float(np.median(a)),
+        "p90_abs_radians": float(np.percentile(a, 90)),
+        "frac_err_gt_0.1rad": float(np.mean(a > 0.1)),
+        "frac_err_gt_1rad": float(np.mean(a > 1.0)),
+    }
+
+
 def evaluate_location(
     task: LocationTask,
     location_params: Any,
@@ -128,11 +144,7 @@ def evaluate_location(
         return {
             "mse_theta_over_pi": float(np.mean((ang / np.pi) ** 2)),
             "rmse_theta_over_pi": float(np.sqrt(np.mean((ang / np.pi) ** 2))),
-            "rmse_radians": float(np.sqrt(np.mean(ang**2))),
-            # RMSE is heavy-tail sensitive (one 1.4-rad confusion in 200
-            # samples reads as 0.1 rad); report robust companions.
-            "median_abs_radians": float(np.median(np.abs(ang))),
-            "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
+            **_angle_error_metrics(ang),
             "rmse_coordinates_m": float(
                 np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
             ),
@@ -153,9 +165,7 @@ def evaluate_location(
         return {
             "mse_theta_over_pi": float(np.mean(err_norm**2)),
             "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm**2))),
-            "rmse_radians": float(np.sqrt(np.mean(ang**2))),
-            "median_abs_radians": float(np.median(np.abs(ang))),
-            "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
+            **_angle_error_metrics(ang),
             "rmse_coordinates_m": float(
                 np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
             ),
@@ -226,9 +236,7 @@ def evaluate_joint_location(task, params: Any, batch: SampleBatch, batch_size: i
     out = {
         "mse_theta_over_pi": float(np.mean(err_norm_sq)),
         "rmse_theta_over_pi": float(np.sqrt(np.mean(err_norm_sq))),
-        "rmse_radians": float(np.sqrt(np.mean(ang**2))),
-        "median_abs_radians": float(np.median(np.abs(ang))),
-        "frac_err_gt_0.1rad": float(np.mean(np.abs(ang) > 0.1)),
+        **_angle_error_metrics(ang),
         "rmse_coordinates_m": float(
             np.sqrt(np.mean(np.sum((coords_pred - coords_true) ** 2, axis=1)))
         ),

@@ -32,7 +32,13 @@ def trained():
 def test_evaluate_location_metrics(trained):
     batch, comp_params, loc_params, task = trained
     m = E.evaluate_location(task, loc_params, comp_params, batch, batch_size=8)
-    assert set(m) >= {"mse_theta_over_pi", "rmse_radians", "rmse_coordinates_m"}
+    assert set(m) >= {
+        "mse_theta_over_pi", "rmse_radians", "rmse_coordinates_m",
+        "median_abs_radians", "p90_abs_radians",
+        "frac_err_gt_0.1rad", "frac_err_gt_1rad",
+    }
+    assert m["median_abs_radians"] <= m["p90_abs_radians"]
+    assert m["frac_err_gt_1rad"] <= m["frac_err_gt_0.1rad"]
     assert np.isfinite(list(m.values())).all()
     assert m["num_samples"] == 24
     # coordinate error bounded by circle diameter + clipping geometry
