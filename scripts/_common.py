@@ -127,7 +127,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--radius-range", type=float, nargs=2, default=None, metavar=("LO", "HI"),
         help="per-sample source-radius geometry augmentation: R ~ U(LO, HI) "
         "meters around the receiver instead of the config's fixed R=1 "
-        "(genereate_dataset.py:17); labels stay angular. Excludes --rir-bank",
+        "(genereate_dataset.py:17); labels stay angular. Combined with "
+        "--rir-bank the bank gains a radius grid axis (--rir-bank-radii "
+        "values spanning the range) and radius labels are grid-drawn",
     )
     p.add_argument(
         "--snr-range", type=float, nargs=2, default=None, metavar=("LO", "HI"),
@@ -178,6 +180,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--rir-bank-rt60s", type=int, default=8,
         help="T60 grid size for a reverberation-randomized RIR bank "
         "(used when --rir-bank and --rt60-range are both set)",
+    )
+    p.add_argument(
+        "--rir-bank-radii", type=int, default=8,
+        help="source-radius grid size for a geometry-randomized RIR bank "
+        "(used when --rir-bank and --radius-range are both set; radius "
+        "labels are then drawn on the grid — 2-D polar training from the "
+        "bank instead of exact per-step image-source synthesis)",
     )
     p.add_argument(
         "--librispeech-dir", default=None,
@@ -294,21 +303,32 @@ def setup(args, resident_fields=None):
             flush=True,
         )
     elif getattr(args, "rir_bank", 0):
+        import numpy as _np
+
         n_theta = args.rir_bank
         rt60s = None
         if getattr(args, "rt60_range", None):
-            import numpy as _np
-
             rt60s = _np.linspace(
                 args.rt60_range[0], args.rt60_range[1], args.rir_bank_rt60s
             )
             synth_kw.pop("rt60_range")  # the bank's T60 axis replaces it
+        radii = None
+        if getattr(args, "radius_range", None):
+            radii = _np.linspace(
+                args.radius_range[0], args.radius_range[1],
+                getattr(args, "rir_bank_radii", 8),
+            )
+            synth_kw.pop("radius_range")  # the bank's radius axis replaces it
+            synth_kw["rir_bank_radii"] = radii.astype(_np.float32)
         print(
             f"building RIR bank: {n_theta} angles"
-            + (f" x {len(rt60s)} T60s" if rt60s is not None else ""),
+            + (f" x {len(rt60s)} T60s" if rt60s is not None else "")
+            + (f" x {len(radii)} radii" if radii is not None else ""),
             flush=True,
         )
-        synth_kw["rir_bank"] = D.make_rir_bank(config, n_theta=n_theta, rt60s=rt60s)
+        synth_kw["rir_bank"] = D.make_rir_bank(
+            config, n_theta=n_theta, rt60s=rt60s, radii=radii
+        )
     args._synth_kwargs = dict(synth_kw)  # for trainer_kwargs (--on-the-fly)
     args._speech_pool = pool  # for scripts that synthesize their own conditions
     store_kw = {}
@@ -492,7 +512,10 @@ def trainer_kwargs(args):
     if not kw["on_the_fly"]:
         # The Trainer only synthesizes on the OTF path; forwarding the RIR
         # bank here would merely pin its ~100 MB in HBM for the whole stage.
-        synth_kw = {k: v for k, v in synth_kw.items() if k != "rir_bank"}
+        synth_kw = {
+            k: v for k, v in synth_kw.items()
+            if k not in ("rir_bank", "rir_bank_radii")
+        }
     if synth_kw:
         kw["synth_kwargs"] = synth_kw
     return kw

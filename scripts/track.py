@@ -82,6 +82,7 @@ def main():
 
     synth_kw = dict(getattr(args, "_synth_kwargs", {}) or {})
     synth_kw.pop("rir_bank", None)   # exact geometry — no grid snapping
+    synth_kw.pop("rir_bank_radii", None)
     synth_kw.pop("radius_range", None)
     pool = getattr(args, "_speech_pool", None)
     key = jax.random.PRNGKey(args.seed)

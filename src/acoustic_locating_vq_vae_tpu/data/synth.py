@@ -96,6 +96,7 @@ def make_rir_bank(
     config: DatasetConfig = DatasetConfig(),
     n_theta: int = 4096,
     rt60s: Optional[Sequence[float]] = None,
+    radii: Optional[Sequence[float]] = None,
     chunk: int = 8192,
     batch: int = 256,
 ) -> jnp.ndarray:
@@ -104,28 +105,50 @@ def make_rir_bank(
     The source geometry is ONE-dimensional (theta on a circle of radius R
     around the fixed microphone, genereate_dataset.py:16-20), so the entire
     RIR space is a theta grid: precompute ``n_theta`` RIRs once (optionally
-    x a T60 grid for domain randomization) and per-step synthesis becomes a
-    gather + convolution instead of image-source summation — the TPU-native
-    answer to the measured OTF bottleneck (RIR generation dominated the
-    fused step, BASELINE.md round 2). At n_theta=4096 the angle quantization
-    is 1.5e-3 rad — an order of magnitude below the best measured
-    localization RMSE (0.034 rad) — and the bank is ~105 MB of HBM.
+    x a T60 and/or radius grid for domain randomization) and per-step
+    synthesis becomes a gather + convolution instead of image-source
+    summation — the TPU-native answer to the measured OTF bottleneck (RIR
+    generation dominated the fused step, BASELINE.md round 2). At
+    n_theta=4096 the angle quantization is 1.5e-3 rad — an order of
+    magnitude below the best measured localization RMSE (0.034 rad) — and
+    the base bank is ~105 MB of HBM.
 
-    Returns (n_theta, n_sample), or (len(rt60s), n_theta, n_sample) when
-    ``rt60s`` is given.
+    ``radii`` extends the bank with a source-radius grid axis so
+    radius-randomized (2-D polar) training can draw from the bank too —
+    per-sample geometry is then (theta grid x radius grid) and both labels
+    exactly match the gathered RIR. The grids multiply the bank's HBM
+    footprint (n_sample x 4 bytes per RIR ≈ 25.6 KB at the reference
+    geometry: 1024 thetas x 8 T60s x 8 radii ≈ 1.7 GB), so coarser theta
+    grids pair with the extra axes; the continuous traced-Sabine path
+    (``rt60_range``/``radius_range``) remains the exact alternative.
+    Each radius must keep the source circle inside the room (same wall
+    check as ``synthesize_batch(radius_range=...)``).
+
+    Returns (n_theta, n_sample); ``rt60s`` prepends a T60 axis and
+    ``radii`` a radius axis: (n_t60?, n_r?, n_theta, n_sample).
     """
     thetas = jnp.asarray(bank_thetas(n_theta))
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
-    src = source_coordinates(
-        thetas, receiver, room, radius=config.R, z_loc=config.Z_LOC_SOURCE
-    )
+    if radii is not None:
+        radii = [float(r) for r in radii]
+        max_r = max_source_radius(config)
+        bad = [r for r in radii if not 0.0 < r < max_r]
+        if bad:
+            raise ValueError(
+                f"bank radii {bad} outside (0, {max_r}) (receiver "
+                f"{config.receiver_position[:2]} in room "
+                f"{config.room_dimensions[:2]}): sources would leave the room"
+            )
     kw = dict(
         room=tuple(config.room_dimensions), nsample=config.n_sample,
         fs=float(config.fs), c=config.c, chunk=chunk,
     )
 
-    def grid_for(rt60: float) -> jnp.ndarray:
+    def grid_for(rt60: float, R: float) -> jnp.ndarray:
+        src = source_coordinates(
+            thetas, receiver, room, radius=R, z_loc=config.Z_LOC_SOURCE
+        )
         rows = []
         for i in range(0, n_theta, batch):
             rows.append(
@@ -133,9 +156,14 @@ def make_rir_bank(
             )
         return jnp.concatenate(rows, axis=0)
 
+    def radius_stack(rt60: float) -> jnp.ndarray:
+        if radii is None:
+            return grid_for(rt60, config.R)
+        return jnp.stack([grid_for(rt60, r) for r in radii], axis=0)
+
     if rt60s is None:
-        return grid_for(config.reverberation_time)
-    return jnp.stack([grid_for(t) for t in rt60s], axis=0)
+        return radius_stack(config.reverberation_time)
+    return jnp.stack([radius_stack(t) for t in rt60s], axis=0)
 
 
 @functools.partial(
@@ -155,6 +183,7 @@ def synthesize_batch(
     rir_chunk: int = 8192,
     rt60_range: Optional[tuple] = None,
     rir_bank: Optional[jnp.ndarray] = None,
+    rir_bank_radii: Optional[jnp.ndarray] = None,
     radius_range: Optional[tuple] = None,
     theta: Optional[jnp.ndarray] = None,
     radius: Optional[jnp.ndarray] = None,
@@ -194,6 +223,15 @@ def synthesize_batch(
     entirely. A 3-D bank draws a uniform T60 grid index per sample (its own
     domain randomization — exclusive with ``rt60_range``).
 
+    ``rir_bank_radii``: the bank's source-radius grid values, (n_r,) —
+    required iff the bank carries a radius axis (``make_rir_bank(radii=)``):
+    (n_r, n_theta, n_sample) or (n_t60, n_r, n_theta, n_sample). A uniform
+    radius grid index is drawn per sample and the ``radius`` label is the
+    grid value, so 2-D polar (angle + range) training can draw from the
+    bank instead of paying exact image-source synthesis per step (run E's
+    configuration, VALIDATION.md). Exclusive with ``radius_range`` (grid vs
+    continuous) and given ``radius`` (grid-snapped).
+
     ``theta`` / ``radius``: optional GIVEN per-sample geometry (framework
     extra; the reference's generator only ever draws randomly,
     genereate_dataset.py:16-17) — shape (batch,) arrays (radius also takes
@@ -225,7 +263,9 @@ def synthesize_batch(
     if rir_bank is not None and radius_range is not None:
         raise ValueError(
             "rir_bank excludes radius_range: the bank's RIRs are "
-            "precomputed at the config's fixed source radius"
+            "precomputed at fixed radii — use a radius-gridded bank "
+            "(make_rir_bank radii=... + rir_bank_radii=) for geometry "
+            "randomization from the bank"
         )
     if theta is not None and rir_bank is not None:
         raise ValueError(
@@ -234,6 +274,31 @@ def synthesize_batch(
         )
     if radius is not None and radius_range is not None:
         raise ValueError("given radius excludes radius_range")
+    if rir_bank_radii is not None:
+        if rir_bank is None:
+            raise ValueError("rir_bank_radii requires rir_bank")
+        if radius is not None:
+            raise ValueError(
+                "given radius excludes a radius-gridded rir_bank (bank RIRs "
+                "exist only at grid radii): drop the bank to synthesize the "
+                "exact geometry"
+            )
+        rir_bank_radii = jnp.asarray(rir_bank_radii, jnp.float32)
+        if rir_bank.ndim not in (3, 4):
+            raise ValueError(
+                f"rir_bank_radii requires a (n_r, n_theta, n_sample) or "
+                f"(n_t60, n_r, n_theta, n_sample) bank, got ndim {rir_bank.ndim}"
+            )
+        if rir_bank.shape[-3] != rir_bank_radii.shape[0]:
+            raise ValueError(
+                f"rir_bank radius axis {rir_bank.shape[-3]} != "
+                f"len(rir_bank_radii) {rir_bank_radii.shape[0]}"
+            )
+    elif rir_bank is not None and rir_bank.ndim == 4:
+        raise ValueError(
+            "a 4-D rir_bank carries a radius axis: pass its grid values via "
+            "rir_bank_radii"
+        )
     if radius_range is not None:
         lo, hi = float(radius_range[0]), float(radius_range[1])
         max_r = max_source_radius(config)
@@ -287,6 +352,16 @@ def synthesize_batch(
         )
         if fixed_rir:
             radius = jnp.broadcast_to(radius[:1], radius.shape)
+    r_idx = None
+    if rir_bank_radii is not None:
+        # same fold_in slot as radius_range — it IS the radius stream, just
+        # grid-valued; every other stream stays identical either way
+        r_idx = jax.random.randint(
+            jax.random.fold_in(key, 7), (batch,), 0, rir_bank_radii.shape[0]
+        )
+        if fixed_rir:
+            r_idx = jnp.broadcast_to(r_idx[:1], r_idx.shape)
+        radius = rir_bank_radii[r_idx]
     src = source_coordinates(theta, receiver, room, radius=radius, z_loc=config.Z_LOC_SOURCE)
 
     if speech is None:
@@ -303,13 +378,13 @@ def synthesize_batch(
         chunk=rir_chunk,
     )
     if rir_bank is not None:
-        if rir_bank.ndim == 3:
+        if rir_bank.ndim == 2 + (r_idx is not None):
+            h = rir_bank[(idx,) if r_idx is None else (r_idx, idx)]
+        else:  # leading T60 grid axis
             t60_idx = jax.random.randint(k_rt60, (batch,), 0, rir_bank.shape[0])
             if fixed_rir:
                 t60_idx = jnp.broadcast_to(t60_idx[:1], t60_idx.shape)
-            h = rir_bank[t60_idx, idx]
-        else:
-            h = rir_bank[idx]
+            h = rir_bank[(t60_idx, idx) if r_idx is None else (t60_idx, r_idx, idx)]
     elif rt60_range is not None:
         lo, hi = float(rt60_range[0]), float(rt60_range[1])
         rt60 = jax.random.uniform(k_rt60, (batch,), minval=lo, maxval=hi)

@@ -455,6 +455,100 @@ def test_rir_bank_3d_t60_axis():
         )
 
 
+def test_rir_bank_radius_axis_matches_direct_pipeline():
+    """A radius-gridded bank (make_rir_bank radii=) draws per-sample
+    (theta, radius) grid labels whose echoed spectrograms equal the exact
+    image-source pipeline at that geometry — 2-D polar training can draw
+    from the bank and its labels stay exact at grid points."""
+    from acoustic_locating_vq_vae_tpu import dsp
+    from acoustic_locating_vq_vae_tpu.data.synth import bank_thetas, make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    radii = (0.7, 1.2)
+    bank = make_rir_bank(cfg, n_theta=8, radii=radii, chunk=2048, batch=4)
+    assert bank.shape == (2, 8, cfg.n_sample)
+    assert not np.allclose(np.asarray(bank[0]), np.asarray(bank[1]))
+
+    speech = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (6, cfg.audio_samples)) * 0.1
+    )
+    b = D.synthesize_batch(
+        jax.random.PRNGKey(9), 6, cfg, speech=jnp.asarray(speech),
+        rir_bank=bank, rir_bank_radii=jnp.asarray(radii, jnp.float32),
+        rir_chunk=2048,
+    )
+    th = np.asarray(b.theta)
+    rr = np.asarray(b.radius)
+    grid = bank_thetas(8)
+    for t in th:
+        assert np.min(np.abs(grid - t)) < 1e-6  # theta labels on the grid
+    dist = np.abs(rr[:, None] - np.asarray(radii, np.float32)[None, :])
+    assert (dist.min(axis=1) < 1e-6).all()  # radius labels on the grid
+    assert len(set(dist.argmin(axis=1).tolist())) == 2  # seed-pinned: both drawn
+
+    # re-synthesize the echoed specs the slow way at the same (theta, radius)
+    recv = jnp.asarray(cfg.receiver_position, jnp.float32)
+    room = jnp.asarray(cfg.room_dimensions, jnp.float32)
+    src = dsp.source_coordinates(
+        jnp.asarray(th), recv, room, radius=jnp.asarray(rr), z_loc=cfg.Z_LOC_SOURCE
+    )
+    h = dsp.generate_rir_batch(
+        src, recv, room=tuple(cfg.room_dimensions), nsample=cfg.n_sample,
+        fs=float(cfg.fs), c=cfg.c, rt60=cfg.reverberation_time, chunk=2048,
+    )
+    echoed = dsp.fft_convolve(jnp.asarray(speech), h, mode="same")
+    spec = dsp.spectrogram(echoed, n_fft=cfg.NFFT, hop_length=cfg.HOP_LENGTH, power=None, normalized=True)
+    want = (np.abs(np.asarray(spec)) ** 2)[..., : cfg.num_frames]
+    np.testing.assert_allclose(np.asarray(b.echoed_spec), want, rtol=1e-4, atol=1e-7)
+
+
+def test_rir_bank_4d_and_radius_validation():
+    """The full (n_t60, n_r, n_theta, n_sample) bank synthesizes finitely;
+    the radius-axis plumbing rejects every inconsistent combination."""
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    radii = jnp.asarray((0.8, 1.1), jnp.float32)
+    bank = make_rir_bank(
+        cfg, n_theta=4, rt60s=(0.3, 0.5), radii=(0.8, 1.1), chunk=2048, batch=4
+    )
+    assert bank.shape == (2, 2, 4, cfg.n_sample)
+    b = D.synthesize_batch(
+        jax.random.PRNGKey(2), 6, cfg, rir_bank=bank, rir_bank_radii=radii,
+        rir_chunk=2048,
+    )
+    for leaf in jax.tree_util.tree_leaves(b):
+        assert np.isfinite(np.asarray(leaf)).all()
+    dist = np.abs(np.asarray(b.radius)[:, None] - np.asarray(radii)[None, :])
+    assert (dist.min(axis=1) < 1e-6).all()  # radius labels on the grid
+
+    key = jax.random.PRNGKey(2)
+    with pytest.raises(ValueError, match="rir_bank_radii"):
+        # 4-D bank without its radius grid values
+        D.synthesize_batch(key, 2, cfg, rir_bank=bank, rir_chunk=2048)
+    with pytest.raises(ValueError, match="requires rir_bank"):
+        D.synthesize_batch(key, 2, cfg, rir_bank_radii=radii, rir_chunk=2048)
+    with pytest.raises(ValueError, match="radius axis"):
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank,
+            rir_bank_radii=jnp.asarray((0.8, 1.1, 1.4), jnp.float32),
+            rir_chunk=2048,
+        )
+    with pytest.raises(ValueError, match="given radius excludes"):
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank, rir_bank_radii=radii,
+            radius=jnp.full((2,), 0.8), rir_chunk=2048,
+        )
+    with pytest.raises(ValueError, match="ndim"):
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank[0, 0], rir_bank_radii=radii,
+            rir_chunk=2048,
+        )
+    with pytest.raises(ValueError, match="leave the room"):
+        # default receiver (2.5, 1.5, 1.5) in a (4, 5, 3) room -> max 1.5
+        make_rir_bank(cfg, n_theta=4, radii=(0.8, 1.5), chunk=2048, batch=4)
+
+
 # ------------------------------------------------------------ batch sampler
 
 
