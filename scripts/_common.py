@@ -519,3 +519,57 @@ def trainer_kwargs(args):
     if synth_kw:
         kw["synth_kwargs"] = synth_kw
     return kw
+
+
+def latency_bench(fn, example, iters: int, batch: int) -> dict:
+    """Serving-latency benchmark under the tunnel-memoization discipline
+    (shared by locate.py --latency and export_localizer.py --latency so the
+    discipline can't drift between them).
+
+    ``iters``+1 DISTINCT inputs: every float leaf of ``example`` scaled by a
+    per-variant factor (1e-4 relative — far above f32 ulp, so never the
+    sub-ulp "identical dispatch" trap), so the warmup and every timed
+    dispatch differ from each other for ANY iters; none can be served from
+    the tunnel's dispatch memo. (A batch-axis roll is NOT enough: rolls wrap
+    mod batch, so iters >= batch repeats inputs.) The timed barrier is a
+    value FETCH — float(sum(...)) — because block_until_ready alone is not a
+    reliable barrier through the tunnel. ``fn`` maps one input to an array
+    or pytree of arrays."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _variant(i):
+        return jax.tree_util.tree_map(
+            lambda a: (
+                a * np.float32(1.0 + 1e-4 * (i + 1))
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a
+            ),
+            example,
+        )
+
+    variants = [jax.device_put(_variant(i)) for i in range(iters + 1)]
+    for v in variants:
+        jax.block_until_ready(v)
+
+    def fetch(v):
+        return float(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(fn(v))))
+
+    fetch(variants[-1])  # warm (the shape is already compiled)
+    times = []
+    for v in variants[:iters]:
+        t0 = time.perf_counter()
+        fetch(v)
+        times.append(time.perf_counter() - t0)
+    times_ms = sorted(1e3 * t for t in times)
+    return {
+        "batch": int(batch),
+        "iters": int(iters),
+        "mean_ms": round(float(np.mean(times_ms)), 2),
+        "p50_ms": round(float(times_ms[len(times_ms) // 2]), 2),
+        "min_ms": round(float(times_ms[0]), 2),
+        "samples_per_s": round(batch / float(np.mean(times)), 1),
+    }

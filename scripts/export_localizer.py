@@ -48,7 +48,7 @@ def main():
         help="serving benchmark on the DESERIALIZED artifact: time K "
         "dispatches at batch --verify-n (distinct scaled inputs + "
         "value-fetch barriers — the TPU tunnel memoizes identical "
-        "dispatches; see locate.py --latency, same discipline)",
+        "dispatches; the shared _common.latency_bench locate.py also uses)",
     )
     args = p.parse_args()
     args.val_size = 0
@@ -116,32 +116,11 @@ def main():
     }
 
     if args.latency > 0:
-        import time
+        from _common import latency_bench
 
-        import jax.numpy as jnp
-
-        variants = [
-            jax.device_put(spec * np.float32(1.0 + 1e-4 * (i + 1)))
-            for i in range(args.latency + 1)
-        ]
-        for v in variants:
-            jax.block_until_ready(v)
-        _ = float(jnp.sum(call(variants[-1])[2]))  # warm
-        times = []
-        for v in variants[: args.latency]:
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(call(v)[2]))
-            times.append(time.perf_counter() - t0)
-        times_ms = sorted(1e3 * t for t in times)
-        n = int(spec.shape[0])
-        out["artifact_latency"] = {
-            "batch": n,
-            "iters": int(args.latency),
-            "mean_ms": round(float(np.mean(times_ms)), 2),
-            "p50_ms": round(float(times_ms[len(times_ms) // 2]), 2),
-            "min_ms": round(float(times_ms[0]), 2),
-            "samples_per_s": round(n / float(np.mean(times)), 1),
-        }
+        out["artifact_latency"] = latency_bench(
+            call, spec, args.latency, int(spec.shape[0])
+        )
 
     print(json.dumps(out))
     if not ok:

@@ -95,44 +95,11 @@ def main():
         )
 
     if args.latency > 0:
-        import time
+        from _common import latency_bench
 
-        # K+1 distinct inputs: scale the float leaves by a per-variant
-        # factor (1e-4 relative — far above f32 ulp, so never the sub-ulp
-        # "identical dispatch" trap) so the warmup and every timed dispatch
-        # differ from each other AND from the accuracy dispatch above for
-        # ANY K; none can be served from the tunnel's dispatch memo. (A
-        # batch-axis roll is NOT enough: rolls wrap mod --n, so K >= n
-        # repeats inputs.) The float() fetch is the barrier.
-        def _variant(i):
-            return jax.tree_util.tree_map(
-                lambda a: (
-                    a * np.float32(1.0 + 1e-4 * (i + 1))
-                    if jnp.issubdtype(a.dtype, jnp.floating)
-                    else a
-                ),
-                batch,
-            )
-
-        variants = [_variant(i) for i in range(args.latency + 1)]
-        variants = [jax.device_put(v) for v in variants]
-        for v in variants:
-            jax.block_until_ready(v)
-        _ = float(jnp.sum(predict(variants[-1])))  # warm (shape already compiled)
-        times = []
-        for v in variants[: args.latency]:
-            t0 = time.perf_counter()
-            _ = float(jnp.sum(predict(v)))
-            times.append(time.perf_counter() - t0)
-        times_ms = sorted(1e3 * t for t in times)
-        out["latency"] = {
-            "batch": int(args.n),
-            "iters": int(args.latency),
-            "mean_ms": round(float(np.mean(times_ms)), 2),
-            "p50_ms": round(float(times_ms[len(times_ms) // 2]), 2),
-            "min_ms": round(float(times_ms[0]), 2),
-            "samples_per_s": round(args.n / float(np.mean(times)), 1),
-        }
+        # the variant scaling also makes every dispatch distinct from the
+        # accuracy dispatch above (see latency_bench for the full discipline)
+        out["latency"] = latency_bench(predict, batch, args.latency, args.n)
     print(json.dumps(out, indent=2))
 
 

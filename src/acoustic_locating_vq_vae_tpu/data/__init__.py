@@ -18,6 +18,7 @@ from .synth import (
     make_dataset,
     make_rir_bank,
     max_source_radius,
+    observed_power_spec,
     prune_batch,
     synthesize_batch,
 )
@@ -42,4 +43,5 @@ __all__ = [
     "max_source_radius",
     "prune_batch",
     "bank_thetas",
+    "observed_power_spec",
 ]

@@ -45,7 +45,32 @@ __all__ = [
     "make_rir_bank",
     "bank_thetas",
     "max_source_radius",
+    "observed_power_spec",
 ]
+
+
+def _complex_spectrogram(wave: jnp.ndarray, config: DatasetConfig) -> jnp.ndarray:
+    """The pipeline's normalized complex STFT (genereate_dataset.py:90-91)."""
+    return spectrogram(
+        wave, n_fft=config.NFFT, hop_length=config.HOP_LENGTH,
+        power=None, normalized=True,
+    )
+
+
+def _power_truncated(spec: jnp.ndarray, config: DatasetConfig) -> jnp.ndarray:
+    """Complex spec -> power, truncated to the fixed frame count
+    (genereate_dataset.py:99-101 + the 500-frame geometry)."""
+    return (jnp.abs(spec) ** 2)[..., : config.num_frames]
+
+
+def observed_power_spec(wave: jnp.ndarray, config: DatasetConfig) -> jnp.ndarray:
+    """Waveform -> the power spectrogram the models consume: THE shared
+    frontend. :func:`synthesize_batch` builds its spectrogram fields from
+    exactly these two pieces, and the from-audio serving export
+    (eval/serving.py) fuses this same function into the artifact — one
+    definition, so train-time preprocessing and the deployed program cannot
+    diverge."""
+    return _power_truncated(_complex_spectrogram(wave, config), config)
 
 
 def max_source_radius(config: DatasetConfig) -> float:
@@ -124,8 +149,14 @@ def make_rir_bank(
     Each radius must keep the source circle inside the room (same wall
     check as ``synthesize_batch(radius_range=...)``).
 
-    Returns (n_theta, n_sample); ``rt60s`` prepends a T60 axis and
-    ``radii`` a radius axis: (n_t60?, n_r?, n_theta, n_sample).
+    Returns (n_theta, n_sample); ``rt60s`` prepends a T60 axis:
+    (n_t60, n_theta, n_sample). ``radii`` ALWAYS yields the full 4-D layout
+    (n_t60, n_r, n_theta, n_sample) — with n_t60=1 when ``rt60s`` is None —
+    never a 3-D one: the two 3-D layouts (T60-gridded vs radius-gridded)
+    are indistinguishable by shape, so a radius bank consumed without its
+    ``rir_bank_radii`` values would silently be treated as a T60 bank and
+    mislabel every radius. :func:`synthesize_batch` validates on ndim
+    (radius banks must be 4-D), which makes that mistake impossible.
     """
     thetas = jnp.asarray(bank_thetas(n_theta))
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
@@ -162,7 +193,9 @@ def make_rir_bank(
         return jnp.stack([grid_for(rt60, r) for r in radii], axis=0)
 
     if rt60s is None:
-        return radius_stack(config.reverberation_time)
+        base = radius_stack(config.reverberation_time)
+        # radii -> always 4-D (n_t60=1): see the layout note in the docstring
+        return base if radii is None else base[None]
     return jnp.stack([radius_stack(t) for t in rt60s], axis=0)
 
 
@@ -224,8 +257,9 @@ def synthesize_batch(
     domain randomization — exclusive with ``rt60_range``).
 
     ``rir_bank_radii``: the bank's source-radius grid values, (n_r,) —
-    required iff the bank carries a radius axis (``make_rir_bank(radii=)``):
-    (n_r, n_theta, n_sample) or (n_t60, n_r, n_theta, n_sample). A uniform
+    required iff the bank carries a radius axis, i.e. is the 4-D
+    (n_t60, n_r, n_theta, n_sample) layout ``make_rir_bank(radii=)`` always
+    returns (n_t60=1 when built without ``rt60s``). A uniform
     radius grid index is drawn per sample and the ``radius`` label is the
     grid value, so 2-D polar (angle + range) training can draw from the
     bank instead of paying exact image-source synthesis per step (run E's
@@ -284,20 +318,31 @@ def synthesize_batch(
                 "exact geometry"
             )
         rir_bank_radii = jnp.asarray(rir_bank_radii, jnp.float32)
-        if rir_bank.ndim not in (3, 4):
+        if rir_bank.ndim != 4:
+            # make_rir_bank(radii=...) ALWAYS returns 4-D (n_t60=1 when rt60s
+            # is None) exactly so a 3-D bank is unambiguously T60-gridded —
+            # a 3-D bank paired with radius values is a layout mistake.
             raise ValueError(
-                f"rir_bank_radii requires a (n_r, n_theta, n_sample) or "
-                f"(n_t60, n_r, n_theta, n_sample) bank, got ndim {rir_bank.ndim}"
+                f"rir_bank_radii requires a 4-D (n_t60, n_r, n_theta, "
+                f"n_sample) bank — make_rir_bank(radii=...) always returns "
+                f"one, with n_t60=1 when rt60s is None — got ndim "
+                f"{rir_bank.ndim}"
             )
-        if rir_bank.shape[-3] != rir_bank_radii.shape[0]:
+        if rir_bank.shape[1] != rir_bank_radii.shape[0]:
             raise ValueError(
-                f"rir_bank radius axis {rir_bank.shape[-3]} != "
+                f"rir_bank radius axis {rir_bank.shape[1]} != "
                 f"len(rir_bank_radii) {rir_bank_radii.shape[0]}"
             )
     elif rir_bank is not None and rir_bank.ndim == 4:
         raise ValueError(
             "a 4-D rir_bank carries a radius axis: pass its grid values via "
             "rir_bank_radii"
+        )
+    elif rir_bank is not None and rir_bank.ndim not in (2, 3):
+        raise ValueError(
+            f"rir_bank must be (n_theta, n_sample), (n_t60, n_theta, "
+            f"n_sample), or the 4-D radius-gridded layout, got ndim "
+            f"{rir_bank.ndim}"
         )
     if radius_range is not None:
         lo, hi = float(radius_range[0]), float(radius_range[1])
@@ -378,9 +423,9 @@ def synthesize_batch(
         chunk=rir_chunk,
     )
     if rir_bank is not None:
-        if rir_bank.ndim == 2 + (r_idx is not None):
-            h = rir_bank[(idx,) if r_idx is None else (r_idx, idx)]
-        else:  # leading T60 grid axis
+        if rir_bank.ndim == 2:
+            h = rir_bank[idx]
+        else:  # leading T60 grid axis (length 1 when built without rt60s)
             t60_idx = jax.random.randint(k_rt60, (batch,), 0, rir_bank.shape[0])
             if fixed_rir:
                 t60_idx = jnp.broadcast_to(t60_idx[:1], t60_idx.shape)
@@ -422,18 +467,16 @@ def synthesize_batch(
         noise_std = jnp.sqrt(p_sig * jnp.power(10.0, -snr_db / 10.0))
         echoed = echoed + noise_std[:, None] * noise
 
-    stft_kw = dict(n_fft=config.NFFT, hop_length=config.HOP_LENGTH, power=None, normalized=True)
-    speech_spec = spectrogram(speech, **stft_kw)  # complex (B, F, T)
-    echoed_spec = spectrogram(echoed, **stft_kw)
+    speech_spec = _complex_spectrogram(speech, config)  # complex (B, F, T)
+    echoed_spec = _complex_spectrogram(echoed, config)
 
     rir_spec = jax.vmap(rir_spec_ratio)(speech_spec, echoed_spec)
     wiener = wiener_estimate(speech_spec, echoed_spec)  # (B, F)
 
-    T = config.num_frames
     return SampleBatch(
-        speech_spec=(jnp.abs(speech_spec) ** 2)[..., :T],
-        rir_spec=(jnp.abs(rir_spec) ** 2)[..., :T],
-        echoed_spec=(jnp.abs(echoed_spec) ** 2)[..., :T],
+        speech_spec=_power_truncated(speech_spec, config),
+        rir_spec=_power_truncated(rir_spec, config),
+        echoed_spec=_power_truncated(echoed_spec, config),
         fs=jnp.full((batch,), config.fs, jnp.int32),
         theta=theta,
         wiener_est=wiener,

@@ -26,7 +26,8 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..dsp import source_coordinates, spectrogram
+from ..data.synth import observed_power_spec
+from ..dsp import source_coordinates
 
 __all__ = ["make_serving_fn", "export_localizer", "load_localizer"]
 
@@ -49,9 +50,10 @@ def make_serving_fn(task, params, composite_params, use_joint, config,
 
     ``from_audio=True`` fuses the STFT frontend into the program: the input
     becomes the raw microphone waveform ``(B, config.audio_samples)`` and
-    the spectrogram is computed exactly as the synthesis pipeline does
-    (normalized complex STFT → power → truncate to ``config.num_frames``,
-    data/synth.py) — one artifact from samples to coordinates."""
+    the spectrogram comes from :func:`..data.synth.observed_power_spec` —
+    the SAME function ``synthesize_batch`` builds its spectrogram fields
+    from — so one artifact goes from samples to coordinates with no way for
+    serving preprocessing to diverge from training."""
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
     model = task.build_model()
@@ -77,13 +79,10 @@ def make_serving_fn(task, params, composite_params, use_joint, config,
 
     def serve(x):
         if from_audio:
-            # mirror data/synth.py's echoed_spec exactly: normalized complex
-            # STFT, power, truncated to the model's fixed frame count
-            spec = spectrogram(
-                x, n_fft=config.NFFT, hop_length=config.HOP_LENGTH,
-                power=None, normalized=True,
-            )
-            spec = (jnp.abs(spec) ** 2)[..., : config.num_frames]
+            # THE shared frontend (data/synth.py observed_power_spec):
+            # synthesize_batch builds echoed_spec from the same function, so
+            # the artifact and training preprocessing cannot diverge
+            spec = observed_power_spec(x, config)
         else:
             spec = x
         pred = raw(spec)

@@ -777,12 +777,18 @@ class Trainer:
         self.store.save_stage(tag, tree, step=step, metadata=meta)
         if not final and self.keep_checkpoints > 0:
             prefix = f"{self.task.name}_"
+            # Rank by save TIME, not step: a from-scratch retrain into a
+            # store still holding a previous run's higher-step tags must not
+            # have its fresh saves (including the SIGTERM preemption save)
+            # GC'd in favor of the stale ones — time-ranking instead retires
+            # the previous run's tags first. (Step is the fallback for
+            # manifests predating the time field; within one run the two
+            # orders agree.)
             periodic = sorted(
-                (t, m["step"])
-                for t, m in self.store.stages().items()
-                if t.startswith(prefix) and t[len(prefix):].isdigit()
+                ((t, m) for t, m in self.store.stages().items()
+                 if t.startswith(prefix) and t[len(prefix):].isdigit()),
+                key=lambda x: x[1].get("time", x[1]["step"]),
             )
-            periodic.sort(key=lambda x: x[1])
             for t, _ in periodic[: -self.keep_checkpoints]:
                 self.store.delete_stage(t)
 
@@ -791,15 +797,20 @@ class Trainer:
 
     def restore_latest(self, template_state: TrainState):
         """Newest periodic checkpoint of this task from the store, or None.
-        Returns (state, completed_updates)."""
+        Returns (state, completed_updates). "Newest" is by save TIME (step as
+        the pre-time-manifest fallback), matching the GC's ranking: after a
+        from-scratch retrain into a store with a previous run's higher-step
+        tags, resume must continue the CURRENT run's latest save, not the
+        stale one."""
         if self.store is None:
             return None
         prefix = f"{self.task.name}_"
         best = None
         for tag, meta in self.store.stages().items():
             if tag.startswith(prefix) and tag[len(prefix):].isdigit():
-                if best is None or meta["step"] > best[1]:
-                    best = (tag, meta["step"])
+                rank = meta.get("time", meta["step"])
+                if best is None or rank > best[2]:
+                    best = (tag, meta["step"], rank)
         if best is None:
             return None
         template = {"params": template_state.params, "opt_state": template_state.opt_state}

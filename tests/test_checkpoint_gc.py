@@ -68,6 +68,41 @@ def test_gc_preserves_resume(tmp_path, batch):
     )
 
 
+def test_gc_and_resume_survive_stale_higher_step_tags(tmp_path, batch):
+    """A from-scratch retrain into a store still holding a PREVIOUS run's
+    higher-step periodic tags: GC must rank by save time — step-ranking
+    would delete the current run's fresh saves (including a preemption
+    save) in favor of the stale ones — and resume must restore the current
+    run's newest save, not the stale higher-step one."""
+    def make(keep):
+        task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
+        tr = Trainer(
+            task, verbose=False, checkpoint_dir=str(tmp_path), keep_checkpoints=keep
+        )
+        return tr, tr.init_state(jax.random.PRNGKey(4), batch)
+
+    tr, st = make(keep=0)  # previous run: keep everything, reach step 10
+    tr.fit(st, batch, None, num_updates=10)
+    store = StageStore(str(tmp_path))
+    store.delete_stage("speech")  # drop the final so the retrain is "fresh"
+    assert _periodic_tags(store) == ["speech_2", "speech_4", "speech_6", "speech_8", "speech_10"]
+
+    tr2, st2 = make(keep=2)  # retrain from scratch, only 6 updates
+    st6, _ = tr2.fit(st2, batch, None, num_updates=6)
+    store = StageStore(str(tmp_path))
+    tags = _periodic_tags(store)
+    # the fresh saves survive; the stale tags (oldest by time) are retired
+    assert tags == ["speech_4", "speech_6"], tags
+
+    tr3, st3 = make(keep=2)
+    restored = tr3.restore_latest(st3)
+    assert restored is not None and restored[1] == 6
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored[0].params["_vq"]["codebook"])),
+        np.asarray(jax.device_get(st6.params["_vq"]["codebook"])),
+    )
+
+
 def test_default_keeps_everything(tmp_path, batch):
     task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
     tr = Trainer(task, verbose=False, checkpoint_dir=str(tmp_path))

@@ -466,8 +466,11 @@ def test_rir_bank_radius_axis_matches_direct_pipeline():
     cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
     radii = (0.7, 1.2)
     bank = make_rir_bank(cfg, n_theta=8, radii=radii, chunk=2048, batch=4)
-    assert bank.shape == (2, 8, cfg.n_sample)
-    assert not np.allclose(np.asarray(bank[0]), np.asarray(bank[1]))
+    # radii= ALWAYS yields the 4-D layout (n_t60=1 without rt60s): a 3-D
+    # radius bank would be shape-indistinguishable from a T60 bank and,
+    # consumed without its radii values, would silently mislabel radii
+    assert bank.shape == (1, 2, 8, cfg.n_sample)
+    assert not np.allclose(np.asarray(bank[0, 0]), np.asarray(bank[0, 1]))
 
     speech = np.asarray(
         jax.random.normal(jax.random.PRNGKey(4), (6, cfg.audio_samples)) * 0.1
@@ -544,6 +547,20 @@ def test_rir_bank_4d_and_radius_validation():
             key, 2, cfg, rir_bank=bank[0, 0], rir_bank_radii=radii,
             rir_chunk=2048,
         )
+    with pytest.raises(ValueError, match="4-D"):
+        # a 3-D bank is unambiguously T60-gridded — pairing it with radius
+        # grid values is the layout mistake the 4-D-only contract catches
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank[:, 0], rir_bank_radii=radii,
+            rir_chunk=2048,
+        )
+    with pytest.raises(ValueError, match="rir_bank_radii"):
+        # a radius-only bank (4-D with n_t60=1) dropped its radii values:
+        # before the 4-D-always contract this silently fell into the T60
+        # branch and mislabeled every radius as config.R
+        radius_only = make_rir_bank(cfg, n_theta=4, radii=(0.8, 1.1), chunk=2048, batch=4)
+        assert radius_only.shape == (1, 2, 4, cfg.n_sample)
+        D.synthesize_batch(key, 2, cfg, rir_bank=radius_only, rir_chunk=2048)
     with pytest.raises(ValueError, match="leave the room"):
         # default receiver (2.5, 1.5, 1.5) in a (4, 5, 3) room -> max 1.5
         make_rir_bank(cfg, n_theta=4, radii=(0.8, 1.5), chunk=2048, batch=4)

@@ -121,9 +121,12 @@ def test_frozen_path_export(tmp_path, batch):
 
 def test_from_audio_export_fuses_the_stft_frontend(tmp_path, joint):
     """An audio-input artifact (raw waveform in) reproduces the
-    spectrogram-input path exactly when fed the same signal's STFT — the
-    fused frontend IS data/synth.py's echoed_spec computation."""
-    from acoustic_locating_vq_vae_tpu.dsp import spectrogram
+    spectrogram-input path exactly when fed the same signal's spectrogram
+    through data/synth.py's observed_power_spec — the ONE frontend
+    synthesize_batch itself builds its spectrogram fields from (the test
+    deliberately does NOT respell the STFT formula: the shared helper is
+    the parity claim)."""
+    from acoustic_locating_vq_vae_tpu.data import observed_power_spec
 
     task, params = joint
     export_localizer(
@@ -140,11 +143,7 @@ def test_from_audio_export_fuses_the_stft_frontend(tmp_path, joint):
     )
     art = call(wav)
 
-    spec = spectrogram(
-        jnp.asarray(wav), n_fft=SMALL.NFFT, hop_length=SMALL.HOP_LENGTH,
-        power=None, normalized=True,
-    )
-    spec = (jnp.abs(spec) ** 2)[..., : SMALL.num_frames]
+    spec = observed_power_spec(jnp.asarray(wav), SMALL)
     serve_spec, _ = make_serving_fn(task, params, None, True, SMALL)
     live = jax.jit(serve_spec)(spec)
     for a, b in zip(live, art):
