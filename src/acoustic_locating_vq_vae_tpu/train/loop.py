@@ -777,17 +777,10 @@ class Trainer:
         self.store.save_stage(tag, tree, step=step, metadata=meta)
         if not final and self.keep_checkpoints > 0:
             prefix = f"{self.task.name}_"
-            # Rank by save TIME, not step: a from-scratch retrain into a
-            # store still holding a previous run's higher-step tags must not
-            # have its fresh saves (including the SIGTERM preemption save)
-            # GC'd in favor of the stale ones — time-ranking instead retires
-            # the previous run's tags first. (Step is the fallback for
-            # manifests predating the time field; within one run the two
-            # orders agree.)
             periodic = sorted(
                 ((t, m) for t, m in self.store.stages().items()
                  if t.startswith(prefix) and t[len(prefix):].isdigit()),
-                key=lambda x: x[1].get("time", x[1]["step"]),
+                key=lambda x: _ckpt_rank(x[1]),
             )
             for t, _ in periodic[: -self.keep_checkpoints]:
                 self.store.delete_stage(t)
@@ -797,8 +790,9 @@ class Trainer:
 
     def restore_latest(self, template_state: TrainState):
         """Newest periodic checkpoint of this task from the store, or None.
-        Returns (state, completed_updates). "Newest" is by save TIME (step as
-        the pre-time-manifest fallback), matching the GC's ranking: after a
+        Returns (state, completed_updates). "Newest" is by :func:`_ckpt_rank`
+        — the SAME ranking the GC retires by (load-bearing: if the two
+        diverged, resume could restore a tag GC is about to delete): after a
         from-scratch retrain into a store with a previous run's higher-step
         tags, resume must continue the CURRENT run's latest save, not the
         stale one."""
@@ -808,7 +802,7 @@ class Trainer:
         best = None
         for tag, meta in self.store.stages().items():
             if tag.startswith(prefix) and tag[len(prefix):].isdigit():
-                rank = meta.get("time", meta["step"])
+                rank = _ckpt_rank(meta)
                 if best is None or rank > best[2]:
                     best = (tag, meta["step"], rank)
         if best is None:
@@ -842,6 +836,18 @@ class Trainer:
             variables=tree.get("variables", template_state.variables),
         )
         return state, int(best[1])
+
+
+def _ckpt_rank(meta: dict):
+    """Recency ranking for periodic checkpoints — the ONE key both the GC
+    (retire lowest-ranked) and restore_latest (resume highest-ranked) use,
+    so the two can never diverge. Primary: the StageStore's monotonic
+    per-save ``seq`` counter, which survives wall-clock steps AND a
+    from-scratch retrain into a store still holding a previous run's
+    higher-STEP tags (step-ranking would GC the fresh saves, incl. the
+    SIGTERM preemption save, in favor of the stale ones). Fallbacks for
+    manifests predating the field: save time, then step."""
+    return (meta.get("seq", -1), meta.get("time", meta["step"]))
 
 
 def _take(batch: SampleBatch, n: int) -> SampleBatch:

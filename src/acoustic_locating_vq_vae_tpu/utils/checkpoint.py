@@ -98,6 +98,11 @@ class StageStore:
             "path": path,
             "step": int(step),
             "time": time.time(),
+            # Monotonic per-store save counter: "which save is newest" must
+            # survive wall-clock steps (NTP corrections, a retrain host whose
+            # clock lags the original run's), which raw time.time() does not.
+            # The Trainer's checkpoint GC and restore_latest rank on this.
+            "seq": 1 + max((e.get("seq", -1) for e in m.values()), default=-1),
             "metadata": metadata or {},
         }
         with open(self.manifest_path, "w") as f:

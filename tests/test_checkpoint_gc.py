@@ -103,6 +103,38 @@ def test_gc_and_resume_survive_stale_higher_step_tags(tmp_path, batch):
     )
 
 
+def test_gc_and_resume_are_immune_to_wall_clock_steps(tmp_path, batch):
+    """Recency is the manifest's monotonic per-save seq counter, NOT wall
+    time: an NTP step backwards (or a retrain host whose clock lags the
+    store's last save) must not make GC delete the newest checkpoint or
+    resume restore an older one."""
+    task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
+    tr = Trainer(
+        task, verbose=False, checkpoint_dir=str(tmp_path), keep_checkpoints=2
+    )
+    st = tr.init_state(jax.random.PRNGKey(5), batch)
+    st6, _ = tr.fit(st, batch, None, num_updates=6)
+
+    store = StageStore(str(tmp_path))
+    assert _periodic_tags(store) == ["speech_4", "speech_6"]
+    # simulate the clock having stepped BACK before the newest save
+    m = json.load(open(store.manifest_path))
+    assert m["speech_6"]["seq"] > m["speech_4"]["seq"]
+    m["speech_6"]["time"] = m["speech_4"]["time"] - 300.0
+    with open(store.manifest_path, "w") as f:
+        json.dump(m, f)
+
+    tr2 = Trainer(
+        task, verbose=False, checkpoint_dir=str(tmp_path), keep_checkpoints=2
+    )
+    restored = tr2.restore_latest(tr2.init_state(jax.random.PRNGKey(6), batch))
+    assert restored is not None and restored[1] == 6  # seq outranks time
+
+    # one more save: GC must retire speech_4 (lowest seq), not speech_6
+    tr2.fit(restored[0], batch, None, num_updates=8, resume=True)
+    assert _periodic_tags(StageStore(str(tmp_path))) == ["speech_6", "speech_8"]
+
+
 def test_default_keeps_everything(tmp_path, batch):
     task = SpeechVQVAETask(config=SMALL, width_scale=WS, batch_size=8, ckpt_every=2)
     tr = Trainer(task, verbose=False, checkpoint_dir=str(tmp_path))
