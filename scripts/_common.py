@@ -186,7 +186,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         help="source-radius grid size for a geometry-randomized RIR bank "
         "(used when --rir-bank and --radius-range are both set; radius "
         "labels are then drawn on the grid — 2-D polar training from the "
-        "bank instead of exact per-step image-source synthesis)",
+        "bank instead of exact per-step image-source synthesis). Keep the "
+        "grid spacing within ~5 cm: coarser grids localize ON the grid but "
+        "degrade centimeters off it at near range (VALIDATION.md run G); "
+        "alternatively finish with an exact-synthesis leg (run H)",
     )
     p.add_argument(
         "--librispeech-dir", default=None,

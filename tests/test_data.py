@@ -566,6 +566,25 @@ def test_rir_bank_4d_and_radius_validation():
         make_rir_bank(cfg, n_theta=4, radii=(0.8, 1.5), chunk=2048, batch=4)
 
 
+def test_rir_bank_coarse_radius_grid_warns():
+    """Radius grids coarser than ~5 cm get the off-grid near-field advisory
+    (the run-G finding, VALIDATION.md): bank-only training on a coarse grid
+    localizes ON the grid but collapses centimeters off it at near range.
+    Fine grids stay silent."""
+    import warnings
+
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=256, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    with pytest.warns(UserWarning, match="OFF-grid"):
+        make_rir_bank(cfg, n_theta=4, radii=(0.8, 1.1), chunk=2048, batch=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # 4 cm spacing (and a single radius) stay under the advisory
+        make_rir_bank(cfg, n_theta=4, radii=(0.8, 0.84), chunk=2048, batch=4)
+        make_rir_bank(cfg, n_theta=4, radii=(0.8,), chunk=2048, batch=4)
+
+
 # ------------------------------------------------------------ batch sampler
 
 
