@@ -1,7 +1,7 @@
 """Training layer: the five stage task specs and the single generic
 mesh-sharded training loop (replacing the reference's per-script loops)."""
 
-from .loop import Preempted, Trainer, TrainHistory, TrainState
+from .loop import OtfArrays, Preempted, Trainer, TrainHistory, TrainState
 from .pipeline import run_pipeline, run_stage
 from .tasks import (
     EchoedSpeechTask,
@@ -20,6 +20,7 @@ from .tasks import (
 __all__ = [
     "Preempted",
     "Trainer",
+    "OtfArrays",
     "TrainHistory",
     "TrainState",
     "run_pipeline",
