@@ -95,19 +95,25 @@ def main():
     trainer = Trainer(task, verbose=False, cache_frozen=True)
     state = trainer.init_state(jax.random.PRNGKey(1), data)
 
+    import jax.numpy as jnp
+
     def best_window(step, operand, st):
         """Best of 5 ten-step windows (the TPU tunnel's throughput varies
         with external load; the best window is closest to uncontended
-        capability). Returns (seconds/step, final state)."""
+        capability). The window barrier is a value FETCH — float(sum(loss))
+        — NOT block_until_ready, which is not a reliable barrier through the
+        tunnel (the repo-wide discipline, CLAUDE.md / latency_bench). No two
+        dispatches are identical (donated state chains step to step), so the
+        tunnel memo can't serve any of them. Returns (s/step, final state)."""
         st, m = step(st, operand, n_data, True)  # warmup/compile
-        jax.block_until_ready(m["loss"])
+        float(jnp.sum(m["loss"]))
         windows = []
         for _ in range(5):
             iters = 10
             t0 = time.perf_counter()
             for _ in range(iters):
                 st, m = step(st, operand, n_data, True)
-            jax.block_until_ready(m["loss"])
+            float(jnp.sum(m["loss"]))  # fetch = the only trusted barrier
             windows.append((time.perf_counter() - t0) / iters)
         return min(windows), st
 

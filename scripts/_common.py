@@ -139,6 +139,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "composes with --rt60-range/--radius-range/--rir-bank",
     )
     p.add_argument(
+        "--snr-clean-prob", type=float, default=0.0, metavar="P",
+        help="with --snr-range: leave each sample CLEAN (no sensor noise) "
+        "with probability P — a mixed clean/noisy curriculum that anchors "
+        "the noiseless operating point (training with --snr-range alone "
+        "never shows a clean sample and costs clean accuracy, "
+        "VALIDATION.md run F)",
+    )
+    p.add_argument(
         "--dataset-bf16", action="store_true",
         help="store synthesized dataset spectra in bfloat16 (half the HBM; "
         "decompressed to f32 per sampled batch) — for 20k-scale sets",
@@ -190,6 +198,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "grid spacing within ~5 cm: coarser grids localize ON the grid but "
         "degrade centimeters off it at near range (VALIDATION.md run G); "
         "alternatively finish with an exact-synthesis leg (run H)",
+    )
+    p.add_argument(
+        "--bank-pretrain-updates", type=int, default=0, metavar="N",
+        help="(--on-the-fly --rir-bank, joint location stage) the validated "
+        "production recipe as ONE command (VALIDATION.md run H): train the "
+        "first N updates drawing from the RIR bank (fast, nearly RIR-free "
+        "steps), then drop the bank and polish the remaining updates with "
+        "exact per-sample image-source synthesis (continuous rt60/radius "
+        "randomization restored) — bank-rate pretraining without the "
+        "off-grid near-field artifact (run G), at ~2-3x lower total cost "
+        "than all-exact training",
     )
     p.add_argument(
         "--librispeech-dir", default=None,
@@ -297,6 +316,15 @@ def setup(args, resident_fields=None):
         synth_kw["radius_range"] = tuple(args.radius_range)
     if getattr(args, "snr_range", None):
         synth_kw["snr_range"] = tuple(args.snr_range)
+        if getattr(args, "snr_clean_prob", 0.0):
+            synth_kw["snr_clean_prob"] = float(args.snr_clean_prob)
+    elif getattr(args, "snr_clean_prob", 0.0):
+        raise SystemExit("--snr-clean-prob requires --snr-range")
+    # Snapshot the pre-bank synthesis kwargs: the bank substitution below
+    # pops rt60_range/radius_range (the bank's grid axes replace them), but
+    # the exact-polish leg of --bank-pretrain-updates needs the continuous
+    # ranges back (fit_joint_recipe leg 2).
+    exact_kw = dict(synth_kw)
     if getattr(args, "rir_bank", 0) and not (
         synth_train or synth_val or getattr(args, "on_the_fly", False)
     ):
@@ -333,6 +361,7 @@ def setup(args, resident_fields=None):
             config, n_theta=n_theta, rt60s=rt60s, radii=radii
         )
     args._synth_kwargs = dict(synth_kw)  # for trainer_kwargs (--on-the-fly)
+    args._exact_synth_kwargs = exact_kw  # for recipe_kwargs (exact-polish leg)
     args._speech_pool = pool  # for scripts that synthesize their own conditions
     store_kw = {}
     if getattr(args, "dataset_bf16", False):
@@ -531,6 +560,26 @@ def trainer_kwargs(args):
     if synth_kw:
         kw["synth_kwargs"] = synth_kw
     return kw
+
+
+def recipe_kwargs(args):
+    """CLI wiring for the bank-pretrain + exact-polish recipe
+    (--bank-pretrain-updates; train.fit_joint_recipe, VALIDATION.md run H).
+    Returns {} when the flag is off; otherwise the leg boundary plus the
+    exact-synthesis kwargs for leg 2 (the pre-bank continuous
+    rt60/radius/snr ranges, with the speech pool re-threaded)."""
+    n = getattr(args, "bank_pretrain_updates", 0)
+    if not n:
+        return {}
+    if not (getattr(args, "on_the_fly", False) and getattr(args, "rir_bank", 0)):
+        raise SystemExit(
+            "--bank-pretrain-updates requires --on-the-fly --rir-bank N "
+            "(leg 1 trains from the bank)"
+        )
+    exact = dict(getattr(args, "_exact_synth_kwargs", {}) or {})
+    if getattr(args, "_speech_pool", None) is not None:
+        exact["speech_pool"] = args._speech_pool
+    return {"bank_updates": int(n), "exact_synth_kwargs": exact}
 
 
 def latency_bench(fn, example, iters: int, batch: int) -> dict:

@@ -74,17 +74,30 @@ def main():
     task, params, composite_params, use_joint = load_localizer_stages(
         args, config, store
     )
-    from acoustic_locating_vq_vae_tpu.eval.serving import make_serving_fn
+    from acoustic_locating_vq_vae_tpu.eval.serving import (
+        make_serving_fn,
+        params_fingerprint,
+        store_provenance,
+        update_sidecar,
+    )
 
     # one closure, serialized AND compared against — they can't diverge
     serve, _ = make_serving_fn(
         task, params, composite_params, use_joint, config,
         from_audio=args.from_audio,
     )
+    # Self-describing artifact (VERDICT r3 next #8): store fingerprint,
+    # stage manifest, and the export-time task modes ride in the sidecar.
+    stage = "location_joint" if use_joint else "location"
+    prov = store_provenance(store, stage, params, task=task)
+    if not use_joint:
+        comp_stage = "finetune" if store.has_stage("finetune") else "echoed"
+        prov["composite_stage"] = comp_stage
+        prov["composite_params_sha256"] = params_fingerprint(composite_params)
     meta = export_localizer(
         task, params, composite_params, use_joint, config, args.out_dir,
         batch_size=args.export_batch, platforms=tuple(args.export_platforms),
-        serve_fn=serve, from_audio=args.from_audio,
+        serve_fn=serve, from_audio=args.from_audio, provenance=prov,
     )
     print(f"exported {meta['model']} localizer -> {args.out_dir} "
           f"({meta['bytes']} bytes, platforms {meta['platforms']})", flush=True)
@@ -122,6 +135,9 @@ def main():
             call, spec, args.latency, int(spec.shape[0])
         )
 
+    # The eval summary becomes part of the artifact's own record, so a
+    # deployed copy carries its verification evidence with it.
+    update_sidecar(args.out_dir, eval_summary=out)
     print(json.dumps(out))
     if not ok:
         raise SystemExit("artifact output diverges from the live model")

@@ -4,7 +4,7 @@ fine-tune -> location regressor, with stage handoff through the store."""
 
 import json
 
-from _common import base_parser, setup, trainer_kwargs
+from _common import base_parser, recipe_kwargs, setup, trainer_kwargs
 
 
 def main():
@@ -33,8 +33,20 @@ def main():
         "2-D polar localization; supervised by the per-sample source radius "
         "(combine with --radius-range)",
     )
+    p.add_argument(
+        "--tail-weight", type=float, default=0.0,
+        help="(--joint-location) hard-example weighting: add this x the mean "
+        "of the worst ceil(tail-frac x batch) per-sample angle errors to the "
+        "joint loss — targets the far-range outlier tail the uniform mean "
+        "ignores (VALIDATION.md run E)",
+    )
+    p.add_argument("--tail-frac", type=float, default=0.125,
+                   help="(--tail-weight) worst fraction of the batch to weight")
     args = p.parse_args()
+    if args.bank_pretrain_updates and not args.joint_location:
+        raise SystemExit("--bank-pretrain-updates needs --joint-location")
     config, mesh, train, val = setup(args)
+    rk = recipe_kwargs(args)
 
     import jax
 
@@ -59,6 +71,12 @@ def main():
         ),
         joint_location=args.joint_location,
         predict_radius=args.predict_radius,
+        joint_bank_updates=rk.get("bank_updates"),
+        joint_exact_synth_kwargs=rk.get("exact_synth_kwargs"),
+        joint_task_kwargs=(
+            {"tail_weight": args.tail_weight, "tail_frac": args.tail_frac}
+            if args.tail_weight else None
+        ),
         resume=args.resume,
         sequence_axis="seq" if args.sequence_parallel else None,
         **trainer_kwargs(args),

@@ -1,7 +1,7 @@
 """Train the location regressor (stage 5) — reference scripts/train_location.py:
 MLP over frozen RIR-branch VQ encodings predicting theta/pi."""
 
-from _common import base_parser, setup, task_kwargs, trainer_kwargs
+from _common import base_parser, recipe_kwargs, setup, task_kwargs, trainer_kwargs
 
 
 def main():
@@ -28,6 +28,16 @@ def main():
     )
     p.add_argument("--radius-weight", type=float, default=1.0,
                    help="(--predict-radius) weight of the range MSE term")
+    p.add_argument(
+        "--tail-weight", type=float, default=0.0,
+        help="(--joint) hard-example weighting: add this x the mean of the "
+        "worst ceil(tail-frac x batch) per-sample angle errors to the loss — "
+        "targets the far-range outlier tail the uniform mean ignores "
+        "(VALIDATION.md run E: 0.25-10.5%% of draws >0.1 rad while medians "
+        "sat at 0.02-0.033). 0 = the validated runs C-I objective",
+    )
+    p.add_argument("--tail-frac", type=float, default=0.125,
+                   help="(--tail-weight) worst fraction of the batch to weight")
     args = p.parse_args()
     from acoustic_locating_vq_vae_tpu.train import LocationTask as _T
 
@@ -53,15 +63,34 @@ def main():
         task = JointLocationTask(
             **kw, commitment_weight=args.commitment_weight,
             predict_radius=args.predict_radius, radius_weight=args.radius_weight,
+            tail_weight=args.tail_weight, tail_frac=args.tail_frac,
         )
         check_flatten_handoff(store.stage_metadata(stage), task, stage)
-        trainer = Trainer(
-            task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args)
-        )
-        state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
-        seeded = task.seed_params(state.params, composite_params)
-        state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
+        rk = recipe_kwargs(args)
+        if rk:
+            # One-command run-H recipe: bank pretraining + exact polish.
+            from acoustic_locating_vq_vae_tpu.train import fit_joint_recipe
+
+            state, history = fit_joint_recipe(
+                task, jax.random.PRNGKey(args.seed + 5), train, val,
+                args.store_dir, mesh, composite_params,
+                bank_updates=rk["bank_updates"], num_updates=args.updates,
+                exact_synth_kwargs=rk["exact_synth_kwargs"],
+                resume=args.resume, **trainer_kwargs(args),
+            )
+        else:
+            trainer = Trainer(
+                task, mesh=mesh, checkpoint_dir=args.store_dir, **trainer_kwargs(args)
+            )
+            state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
+            seeded = task.seed_params(state.params, composite_params)
+            state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
+            state, history = trainer.fit(
+                state, train, val, num_updates=args.updates, resume=args.resume
+            )
     else:
+        if recipe_kwargs(args):
+            raise SystemExit("--bank-pretrain-updates is a --joint recipe")
         task = LocationTask(**task_kwargs(args, config, location=True))
         check_flatten_handoff(store.stage_metadata(stage), task, stage)
         trainer = Trainer(
@@ -69,7 +98,7 @@ def main():
             composite_params=composite_params, **trainer_kwargs(args),
         )
         state = trainer.init_state(jax.random.PRNGKey(args.seed + 5), train)
-    state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
+        state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     tgt = "(sin,cos)" if getattr(task, "target_mode", "") == "sincos" else "theta/pi"
     print(

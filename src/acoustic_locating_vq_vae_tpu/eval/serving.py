@@ -29,10 +29,63 @@ import jax.numpy as jnp
 from ..data.synth import observed_power_spec
 from ..dsp import source_coordinates
 
-__all__ = ["make_serving_fn", "export_localizer", "load_localizer"]
+__all__ = [
+    "make_serving_fn",
+    "export_localizer",
+    "load_localizer",
+    "params_fingerprint",
+    "store_provenance",
+    "update_sidecar",
+]
 
 SERVING_BLOB = "localizer.stablehlo"
 SERVING_META = "serving.json"
+
+
+def params_fingerprint(tree) -> str:
+    """Deterministic sha256 over a parameter pytree: every leaf's tree path,
+    shape, dtype, and raw bytes feed the hash, so two artifacts carry the
+    same fingerprint iff they embed bit-identical weights in the same
+    structure. Used to tie a serving artifact back to the exact training
+    checkpoint it was exported from (VERDICT r3 next #8)."""
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    for path, leaf in sorted(leaves, key=lambda kv: jax.tree_util.keystr(kv[0])):
+        a = np.asarray(jax.device_get(leaf))
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()
+
+
+def store_provenance(store, stage: str, params, task=None) -> dict:
+    """Self-describing training provenance for a serving artifact: the
+    source store path, stage name, the stage's manifest entry (step, save
+    sequence, task metadata — flatten/target/radius modes), the exported
+    weights' fingerprint, and the eval-relevant task modes actually resolved
+    at export time. A deployed artifact can always answer 'which training
+    run produced you, with which feature semantics?'."""
+    entry = dict(store.stages().get(stage, {}))
+    entry.pop("path", None)  # host-local detail; the store root covers it
+    prov = {
+        "store": os.path.abspath(store.root),
+        "stage": stage,
+        "stage_manifest": entry,
+        "params_sha256": params_fingerprint(params),
+    }
+    if task is not None:
+        prov["task_modes"] = {
+            k: getattr(task, k)
+            for k in ("compat_vq_flatten", "input_mode", "target_mode",
+                      "predict_radius")
+            if hasattr(task, k)
+        }
+    return prov
 
 
 def make_serving_fn(task, params, composite_params, use_joint, config,
@@ -110,6 +163,7 @@ def export_localizer(
     platforms: Sequence[str] = ("tpu", "cpu"),
     serve_fn=None,
     from_audio: bool = False,
+    provenance: Optional[dict] = None,
 ) -> dict:
     """Serialize the localizer's inference program to ``out_dir``.
 
@@ -162,7 +216,23 @@ def export_localizer(
         "bytes": len(blob),
         "geometry": config.to_reference_dict(),
     }
+    if provenance:
+        meta["provenance"] = provenance
     with open(os.path.join(out_dir, SERVING_META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+def update_sidecar(path: str, **fields) -> dict:
+    """Merge post-export fields (the reload-and-compare eval summary, a
+    latency bench) into an artifact's ``serving.json`` — the sidecar is the
+    artifact's one self-describing record, so verification results belong in
+    it, not just on a terminal."""
+    sidecar = os.path.join(path, SERVING_META)
+    with open(sidecar) as f:
+        meta = json.load(f)
+    meta.update(fields)
+    with open(sidecar, "w") as f:
         json.dump(meta, f, indent=1)
     return meta
 

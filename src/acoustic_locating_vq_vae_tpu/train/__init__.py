@@ -2,7 +2,7 @@
 mesh-sharded training loop (replacing the reference's per-script loops)."""
 
 from .loop import OtfArrays, Preempted, Trainer, TrainHistory, TrainState
-from .pipeline import run_pipeline, run_stage
+from .pipeline import fit_joint_recipe, run_pipeline, run_stage
 from .tasks import (
     EchoedSpeechTask,
     EncoderFinetuneTask,
@@ -23,6 +23,7 @@ __all__ = [
     "OtfArrays",
     "TrainHistory",
     "TrainState",
+    "fit_joint_recipe",
     "run_pipeline",
     "run_stage",
     "EchoedSpeechTask",

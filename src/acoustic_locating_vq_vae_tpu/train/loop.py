@@ -513,11 +513,18 @@ class Trainer:
         val_data: Optional[SampleBatch] = None,
         num_updates: Optional[int] = None,
         resume: bool = False,
+        save_final: bool = True,
     ) -> Tuple[TrainState, TrainHistory]:
         """Run the stage. With ``resume=True`` and a checkpoint store, restart
         from the newest periodic checkpoint of this task (params, opt state,
         AND step), so a crash loses at most ``ckpt_every`` updates — unlike
         the reference, which never saves optimizer state (SURVEY.md §5.3).
+
+        ``save_final=False`` suppresses the stage-FINAL checkpoint at the
+        end (periodic checkpoints still save): for multi-leg stages (the
+        bank-pretrain + exact-polish recipe, pipeline.fit_joint_recipe) a
+        final tag after the first leg would make pipeline resume treat the
+        half-trained stage as complete.
 
         While running, SIGTERM triggers graceful preemption: the loop saves
         a resumable checkpoint and raises :class:`Preempted` (production TPU
@@ -532,7 +539,7 @@ class Trainer:
         except ValueError:
             prev = None  # not the main thread — flag-only preemption
         try:
-            return self._fit(state, train_data, val_data, num_updates, resume)
+            return self._fit(state, train_data, val_data, num_updates, resume, save_final)
         finally:
             if installed:
                 signal.signal(signal.SIGTERM, prev if prev is not None else signal.SIG_DFL)
@@ -545,6 +552,7 @@ class Trainer:
         val_data: Optional[SampleBatch],
         num_updates: Optional[int],
         resume: bool,
+        save_final: bool = True,
     ) -> Tuple[TrainState, TrainHistory]:
         num_updates = num_updates or self.task.num_updates
         # 20k-scale host-staged path (SURVEY.md; reference 20k_set,
@@ -724,7 +732,7 @@ class Trainer:
         jax.block_until_ready(state.params)
         if frozen_before is not None:
             self._check_frozen_constant(state, frozen_before)
-        if self.store:
+        if self.store and save_final:
             self.save_checkpoint(state, tag=self.task.name, final=True)
         return state, history
 

@@ -31,7 +31,7 @@ from .tasks import (
     graft_pretrained,
 )
 
-__all__ = ["run_stage", "run_pipeline"]
+__all__ = ["run_stage", "run_pipeline", "fit_joint_recipe"]
 
 
 def _copy_tree(tree):
@@ -67,6 +67,97 @@ def run_stage(
     return trainer, state, history
 
 
+def fit_joint_recipe(
+    task,
+    key: jax.Array,
+    train_data: Optional[SampleBatch],
+    val_data: Optional[SampleBatch],
+    store_dir: Optional[str],
+    mesh,
+    composite_params: Any,
+    bank_updates: int,
+    num_updates: Optional[int],
+    exact_synth_kwargs: Optional[Dict] = None,
+    resume: bool = False,
+    initial_state: Optional[TrainState] = None,
+    **trainer_kwargs,
+) -> Tuple[TrainState, TrainHistory]:
+    """The validated production recipe as ONE invocation (VALIDATION.md runs
+    G/H: bank pretraining matches exact-synthesis quality everywhere except
+    off the radius grid at near range; a short exact-synthesis polish removes
+    that artifact at ~2-3x lower total cost than all-exact training).
+
+    Leg 1 trains ``bank_updates`` on-the-fly updates drawing from the RIR
+    bank in ``trainer_kwargs["synth_kwargs"]``; leg 2 drops the bank,
+    switches to ``exact_synth_kwargs`` (continuous traced-Sabine synthesis),
+    and polishes to ``num_updates`` total. One store, one step numbering:
+    leg 1 ends with a periodic checkpoint and suppresses the stage-final tag
+    (``fit(save_final=False)``), so the stage only reads as complete after
+    the polish — and ``resume=True`` restarts a crashed run inside whichever
+    leg it died in (a restore past ``bank_updates`` makes leg 1 a no-op)."""
+    if num_updates is None:
+        num_updates = task.num_updates
+    if not 0 < bank_updates < num_updates:
+        raise ValueError(
+            f"bank_updates must satisfy 0 < bank < total updates, got "
+            f"{bank_updates} of {num_updates}"
+        )
+    synth_kw = trainer_kwargs.get("synth_kwargs") or {}
+    if "rir_bank" not in synth_kw:
+        raise ValueError(
+            "bank pretraining needs a RIR bank in synth_kwargs (CLI: "
+            "--rir-bank N with --on-the-fly)"
+        )
+    if (exact_synth_kwargs or {}).get("rir_bank") is not None:
+        raise ValueError("exact_synth_kwargs must not carry a rir_bank")
+    trainer = Trainer(task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
+    if initial_state is not None:
+        state = initial_state
+    else:
+        state = trainer.init_state(
+            key, train_data if train_data is not None else val_data
+        )
+        seeded = task.seed_params(state.params, composite_params)
+        state = state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))
+    state, h1 = trainer.fit(
+        state, train_data, val_data, num_updates=bank_updates, resume=resume,
+        save_final=False,
+    )
+    if store_dir:
+        # Pin the leg boundary as a periodic tag so leg 2's resume lands on
+        # it even when bank_updates is off the ckpt_every cadence.
+        trainer.save_checkpoint(
+            state, tag=f"{task.name}_{int(jax.device_get(state.step))}"
+        )
+    if trainer.verbose:
+        print(
+            f"[{task.name}] bank pretraining done at step "
+            f"{int(jax.device_get(state.step))}; polishing with exact "
+            f"synthesis to {num_updates}", flush=True,
+        )
+    tk2 = dict(trainer_kwargs)
+    tk2["synth_kwargs"] = dict(exact_synth_kwargs or {})
+    trainer2 = Trainer(task, mesh=mesh, checkpoint_dir=store_dir, **tk2)
+    if store_dir:
+        state, h2 = trainer2.fit(
+            state, train_data, val_data, num_updates=num_updates, resume=True
+        )
+    else:
+        # No store to resume through: run the remaining updates directly
+        # (state.step already carries the leg-1 count).
+        remaining = num_updates - int(jax.device_get(state.step))
+        state, h2 = trainer2.fit(
+            state, train_data, val_data, num_updates=max(remaining, 0)
+        )
+    merged = TrainHistory()
+    for h in (h1, h2):
+        for split in ("train", "val"):
+            store = merged.train if split == "train" else merged.val
+            for k, v in getattr(h, split).items():
+                store.setdefault(k, []).extend(v)
+    return state, merged
+
+
 def run_pipeline(
     key: jax.Array,
     train_data: SampleBatch,
@@ -89,6 +180,9 @@ def run_pipeline(
     resume: bool = False,
     ckpt_every: Optional[int] = None,
     sequence_axis: object = None,
+    joint_bank_updates: Optional[int] = None,
+    joint_exact_synth_kwargs: Optional[Dict] = None,
+    joint_task_kwargs: Optional[Dict] = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
     """Run all five stages; returns {stage: (params, history, variables)}
@@ -281,15 +375,27 @@ def run_pipeline(
             compute_dtype=compute_dtype, compat_vq_flatten=compat_vq_flatten,
             target_mode=joint_target_mode, predict_radius=predict_radius,
             **({"ckpt_every": ckpt_every} if ckpt_every is not None else {}),
+            **(joint_task_kwargs or {}),
         )
         done = _completed("location_joint")
         if done is not None:
             results["location_joint"] = (done[0], None, done[1])
             return results
+        key6 = jax.random.fold_in(key, 6)
         # (cache_frozen in trainer_kwargs is ignored: the joint stage trains
         # the encoder, so the task exposes no frozen path to cache)
+        if joint_bank_updates:
+            # One-command run-H recipe: bank pretraining + exact polish.
+            j_state, h = fit_joint_recipe(
+                joint_task, key6, train_data, val_data, store_dir, mesh,
+                composite_params=ft_params, bank_updates=joint_bank_updates,
+                num_updates=updates.get("location_joint"),
+                exact_synth_kwargs=joint_exact_synth_kwargs, resume=resume,
+                **trainer_kwargs,
+            )
+            results["location_joint"] = (j_state.params, h, j_state.variables)
+            return results
         trainer = Trainer(joint_task, mesh=mesh, checkpoint_dir=store_dir, **trainer_kwargs)
-        key6 = jax.random.fold_in(key, 6)
         j_state = trainer.init_state(key6, train_data if train_data is not None else val_data)
         seeded = joint_task.seed_params(j_state.params, ft_params)
         j_state = j_state.replace(params=seeded, opt_state=trainer.optimizer.init(seeded))

@@ -16,6 +16,7 @@ Stage hyperparameters are the reference's:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -652,6 +653,15 @@ class JointLocationTask(Task):
     # freely swap condition configs).
     predict_radius: bool = False
     radius_weight: float = 1.0
+    # Hard-example (tail) weighting: add tail_weight x the mean of the worst
+    # ceil(tail_frac x batch) per-sample angle errors to the loss. The
+    # uniform-mean objective leaves an outlier tail the medians never see
+    # (VALIDATION.md run E final grid: 0.25-10.5% of draws >0.1 rad, worst
+    # at far range, while medians sat at 0.02-0.033 rad) — a p90-sensitive
+    # term makes exactly those draws carry gradient. 0 disables (default:
+    # identical objective to runs C-I).
+    tail_weight: float = 0.0
+    tail_frac: float = 0.125
     # Interface symmetry with the other stages but REJECTED (mirrors
     # RirVQVAETask): this task's model IS the rir branch + MLP head — the
     # spectrogram's time axis enters as the first conv's CHANNELS and the
@@ -710,9 +720,18 @@ class JointLocationTask(Task):
         else:
             target = theta / jnp.pi
         pred_loc = pred[:, :-1] if self.predict_radius else pred
-        mse = jnp.mean((pred_loc - target) ** 2)
+        per_sample = jnp.mean((pred_loc - target) ** 2, axis=1)  # (B,)
+        mse = jnp.mean(per_sample)
         loss = mse + self.commitment_weight * vq_loss
         metrics = {"location_error": mse, "rir_perplexity": perp}
+        if self.tail_weight:
+            # p90-sensitive term: the worst ceil(tail_frac x B) samples of
+            # the batch carry extra gradient (targets the far-range outlier
+            # tail the uniform mean ignores; see the field comment)
+            k = max(1, math.ceil(per_sample.shape[0] * self.tail_frac))
+            tail = jnp.mean(jax.lax.top_k(per_sample, k)[0])
+            loss = loss + self.tail_weight * tail
+            metrics["tail_error"] = tail
         if self.predict_radius:
             r_target = batch.radius.astype(pred.dtype)  # meters
             mse_r = jnp.mean((pred[:, -1] - r_target) ** 2)

@@ -381,6 +381,44 @@ def test_synthesize_batch_snr_range():
         D.synthesize_batch(key, 4, cfg, rir_chunk=2048, snr_range=(12.0, 6.0))
 
 
+def test_synthesize_batch_snr_clean_prob():
+    """Mixed clean/noisy curriculum (snr_clean_prob): p=1 reproduces the
+    noiseless run exactly; 0<p<1 partitions the batch — every sample matches
+    EITHER the clean run or the p=0 noisy run bit-for-bit (the keep mask has
+    its own fold_in stream, so the non-clean samples' SNR/noise draws are
+    unchanged); and the option validates its domain."""
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    key = jax.random.PRNGKey(45)
+    clean = D.synthesize_batch(key, 8, cfg, rir_chunk=2048)
+    noisy = D.synthesize_batch(key, 8, cfg, rir_chunk=2048, snr_range=(5.0, 15.0))
+    all_clean = D.synthesize_batch(
+        key, 8, cfg, rir_chunk=2048, snr_range=(5.0, 15.0), snr_clean_prob=1.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(all_clean.echoed_spec), np.asarray(clean.echoed_spec)
+    )
+    mixed = D.synthesize_batch(
+        key, 8, cfg, rir_chunk=2048, snr_range=(5.0, 15.0), snr_clean_prob=0.5
+    )
+    is_clean = np.array([
+        np.array_equal(np.asarray(mixed.echoed_spec[i]), np.asarray(clean.echoed_spec[i]))
+        for i in range(8)
+    ])
+    is_noisy = np.array([
+        np.array_equal(np.asarray(mixed.echoed_spec[i]), np.asarray(noisy.echoed_spec[i]))
+        for i in range(8)
+    ])
+    assert (is_clean | is_noisy).all()  # every sample is one or the other
+    assert is_clean.any() and is_noisy.any()  # p=0.5 on B=8: both present
+
+    with pytest.raises(ValueError, match="snr_clean_prob"):
+        D.synthesize_batch(
+            key, 4, cfg, rir_chunk=2048, snr_range=(5.0, 15.0), snr_clean_prob=1.5
+        )
+    with pytest.raises(ValueError, match="requires snr_range"):
+        D.synthesize_batch(key, 4, cfg, rir_chunk=2048, snr_clean_prob=0.5)
+
+
 # ------------------------------------------------------------------ RIR bank
 
 

@@ -133,3 +133,44 @@ def test_model_axis_collectives_present():
     n_data = txt.count("replica_groups=[2,4]<=[4,2]T(1,0)") + txt.count("{{0,2,4,6},{1,3,5,7}}")
     assert n_model >= 1, f"no model-axis collectives in the tp step (data-axis: {n_data})"
     assert n_data >= 1, f"no data-axis collectives in the tp step (model-axis: {n_model})"
+
+
+def test_multislice_collective_groups_are_slice_contiguous():
+    """Multi-slice (DCN) HLO contract (VERDICT r3 next #7): compile the
+    (data=4, model=2) training step on a slices=2 mesh with an INTERLEAVED
+    fake topology (device i on slice i%2 — worst case for a naive grouping)
+    and pin the collectives' replica groups against the mesh's device order:
+    every model-axis group must lie within ONE slice (its latency-sensitive
+    collectives never ride DCN), and every data-axis allreduce group must be
+    slice-contiguous ([0,0,1,1] — equal in-slice blocks), the shape XLA's
+    hierarchical lowering needs to stage the reduce as in-slice ICI passes
+    plus one cross-slice DCN exchange. The layout test
+    (test_multislice.py) pins mesh.devices; this pins the compiled
+    collective groups that consume it."""
+    devices = jax.devices()
+    smap = {d: i % 2 for i, d in enumerate(devices)}  # interleaved worst case
+    mesh = make_mesh(data=4, model=2, slices=2, slice_map=dict(smap))
+
+    train = D.make_dataset(jax.random.PRNGKey(11), 16, SMALL, batch=16, rir_chunk=2048)
+    task = SpeechVQVAETask(config=SMALL, width_scale=0.5, batch_size=8)
+    tr = Trainer(task, mesh=mesh, model_parallel=True, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(12), train)
+    data = jax.device_put(train, batch_sharding(mesh))
+    txt = tr._step_fn.lower(st, data, 16, True).compile().as_text()
+
+    # The same iota/explicit replica-group spellings as the tp test: group
+    # ids index the mesh's device order (mesh.devices.ravel()).
+    model_groups = ((0, 1), (2, 3), (4, 5), (6, 7))
+    data_groups = ((0, 2, 4, 6), (1, 3, 5, 7))
+    assert (
+        "replica_groups=[4,2]<=[8]" in txt or "{{0,1},{2,3},{4,5},{6,7}}" in txt
+    ), "no model-axis collective in the multislice step"
+    assert (
+        "replica_groups=[2,4]<=[4,2]T(1,0)" in txt or "{{0,2,4,6},{1,3,5,7}}" in txt
+    ), "no data-axis collective in the multislice step"
+
+    slice_of = [smap[d] for d in mesh.devices.ravel()]
+    for g in model_groups:  # in-slice: never straddles DCN
+        assert len({slice_of[i] for i in g}) == 1, (g, slice_of)
+    for g in data_groups:  # slice-contiguous equal blocks: DCN-decomposable
+        assert [slice_of[i] for i in g] == [0, 0, 1, 1], (g, slice_of)

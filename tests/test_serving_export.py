@@ -70,6 +70,51 @@ def test_joint_export_roundtrip(tmp_path, batch, joint):
     assert theta.shape == (8,) and radius.shape == (8,) and coords.shape == (8, 3)
 
 
+def test_provenance_sidecar_roundtrip(tmp_path, batch, joint):
+    """Self-describing artifact (VERDICT r3 next #8): the sidecar carries the
+    training-store provenance — store path, stage manifest entry (step/seq/
+    metadata), export-time task modes, and a weights fingerprint that moves
+    iff the weights do — post-export eval summaries merge into the same
+    sidecar, and load_localizer surfaces all of it with no model code."""
+    from acoustic_locating_vq_vae_tpu.eval.serving import (
+        params_fingerprint,
+        store_provenance,
+        update_sidecar,
+    )
+    from acoustic_locating_vq_vae_tpu.utils import StageStore
+
+    task, params = joint
+    store = StageStore(str(tmp_path / "store"))
+    store.save_stage(
+        "location_joint", {"params": params}, step=7,
+        metadata={"task": "location_joint", "target_mode": "sincos"},
+    )
+    prov = store_provenance(store, "location_joint", params, task=task)
+    assert prov["stage"] == "location_joint"
+    assert prov["stage_manifest"]["step"] == 7
+    assert prov["stage_manifest"]["metadata"]["target_mode"] == "sincos"
+    assert prov["task_modes"]["predict_radius"] is True
+
+    out = tmp_path / "art"
+    export_localizer(
+        task, params, None, True, SMALL, str(out), platforms=("cpu",),
+        provenance=prov,
+    )
+    call, meta = load_localizer(str(out))
+    assert meta["provenance"] == json.loads(json.dumps(prov))
+
+    # deterministic, weight-sensitive fingerprint
+    assert prov["params_sha256"] == params_fingerprint(params)
+    bumped = jax.tree_util.tree_map(lambda a: a + 1e-3, params)
+    assert params_fingerprint(bumped) != prov["params_sha256"]
+
+    # post-export eval results merge into the artifact's own record
+    update_sidecar(str(out), eval_summary={"verified": True, "max_abs_diff": 0.0})
+    _, meta2 = load_localizer(str(out))
+    assert meta2["eval_summary"]["verified"] is True
+    assert meta2["provenance"]["params_sha256"] == prov["params_sha256"]
+
+
 def test_symbolic_batch_serves_any_size(tmp_path, batch, joint):
     task, params = joint
     export_localizer(task, params, None, True, SMALL, str(tmp_path), platforms=("cpu",))

@@ -527,6 +527,119 @@ def test_joint_predict_radius_head(tmp_path):
         )
 
 
+def test_joint_tail_weighted_loss(datasets):
+    """Hard-example weighting (tail_weight): the loss gains exactly
+    tail_weight x the mean of the worst ceil(tail_frac x B) per-sample angle
+    errors (reported as the tail_error metric), which is >= the uniform mean
+    by construction; tail_weight=0 is bit-identical to the runs C-I
+    objective (VERDICT r3 weak #3: the uniform mean leaves a far-range
+    outlier tail nothing in training targets)."""
+    import dataclasses as dc
+
+    from acoustic_locating_vq_vae_tpu.train import JointLocationTask
+
+    train, _ = datasets
+    base = JointLocationTask(config=SMALL, width_scale=WS, batch_size=8)
+    tailed = dc.replace(base, tail_weight=2.0, tail_frac=0.25)
+    model = base.build_model()
+    tr = Trainer(base, verbose=False)
+    st = tr.init_state(jax.random.PRNGKey(30), train)
+    batch = jax.tree_util.tree_map(lambda a: a[:8], train)
+
+    loss_b, met_b = base.loss(model, st.params, batch, {}, train=True)
+    loss_t, met_t = tailed.loss(model, st.params, batch, {}, train=True)
+    assert "tail_error" not in met_b
+    tail = met_t["tail_error"]
+    assert float(tail) >= float(met_t["location_error"])  # worst-k mean >= mean
+    np.testing.assert_allclose(
+        float(loss_t), float(loss_b) + 2.0 * float(tail), rtol=1e-6
+    )
+    # and it trains: the tail term carries gradient, metrics stay finite
+    tr2 = Trainer(tailed, verbose=False)
+    st2 = tr2.init_state(jax.random.PRNGKey(31), train)
+    st2 = st2.replace(params=st.params, opt_state=tr2.optimizer.init(st.params))
+    st2, hist = tr2.fit(st2, train, None, num_updates=10)
+    f = hist.finalize()
+    assert np.isfinite(f["train"]["tail_error"]).all()
+    assert np.isfinite(f["train"]["loss"]).all()
+
+
+def test_fit_joint_recipe(tmp_path, datasets):
+    """The one-command run-H production recipe (VERDICT r3 weak #5):
+    bank-pretrain leg 1 + exact-synthesis polish leg 2 through ONE store with
+    one step numbering. The leg boundary is pinned as a periodic checkpoint
+    (leg 2 resumes from it), the stage-final tag only exists after the
+    polish, and the merged history spans both legs."""
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+    from acoustic_locating_vq_vae_tpu.train import (
+        EchoedSpeechTask,
+        JointLocationTask,
+        fit_joint_recipe,
+    )
+
+    train, val = datasets
+    mesh = make_mesh(data=8)
+    comp_task = EchoedSpeechTask(
+        config=SMALL, width_scale=WS, batch_size=8, compat_vq_flatten=False
+    )
+    comp_st = Trainer(comp_task, verbose=False, mesh=mesh).init_state(
+        jax.random.PRNGKey(40), train
+    )
+
+    bank = make_rir_bank(SMALL, n_theta=8, chunk=2048, batch=4)
+    task = JointLocationTask(config=SMALL, width_scale=WS, batch_size=8)
+    tkw = dict(
+        verbose=False, on_the_fly=True, log_every=1000,
+        synth_kwargs=dict(rir_bank=bank, rir_chunk=2048),
+    )
+    state, hist = fit_joint_recipe(
+        task, jax.random.PRNGKey(41), None, val, str(tmp_path), mesh,
+        composite_params=comp_st.params, bank_updates=4, num_updates=10,
+        exact_synth_kwargs=dict(rir_chunk=2048), **tkw,
+    )
+    assert int(jax.device_get(state.step)) == 10
+    f = hist.finalize()
+    assert len(f["train"]["location_error"]) == 10  # both legs, one numbering
+    assert np.isfinite(f["train"]["location_error"]).all()
+    store = StageStore(str(tmp_path))
+    assert store.has_stage("location_joint")  # final exists after the polish
+    assert "location_joint_4" in store.stages()  # the pinned leg boundary
+    # seeded from the composite: frozen codebook subtree matches
+    np.testing.assert_array_equal(
+        np.asarray(state.params["rir_model"]["_vq"]["codebook"]),
+        np.asarray(comp_st.params["rir_model"]["_vq"]["codebook"]),
+    )
+
+    # storeless variant: leg 2 runs the remaining updates directly
+    state2, hist2 = fit_joint_recipe(
+        task, jax.random.PRNGKey(41), None, val, None, mesh,
+        composite_params=comp_st.params, bank_updates=4, num_updates=10,
+        exact_synth_kwargs=dict(rir_chunk=2048), **tkw,
+    )
+    assert len(hist2.finalize()["train"]["location_error"]) == 10
+
+    # guard rails
+    with pytest.raises(ValueError, match="bank_updates"):
+        fit_joint_recipe(
+            task, jax.random.PRNGKey(42), None, val, None, mesh,
+            composite_params=comp_st.params, bank_updates=12, num_updates=10,
+            exact_synth_kwargs={}, **tkw,
+        )
+    with pytest.raises(ValueError, match="RIR bank"):
+        fit_joint_recipe(
+            task, jax.random.PRNGKey(42), None, val, None, mesh,
+            composite_params=comp_st.params, bank_updates=4, num_updates=10,
+            exact_synth_kwargs={}, verbose=False, on_the_fly=True,
+            synth_kwargs=dict(rir_chunk=2048),
+        )
+    with pytest.raises(ValueError, match="must not carry"):
+        fit_joint_recipe(
+            task, jax.random.PRNGKey(42), None, val, None, mesh,
+            composite_params=comp_st.params, bank_updates=4, num_updates=10,
+            exact_synth_kwargs=dict(rir_bank=bank), **tkw,
+        )
+
+
 def test_pipeline_joint_location_stage(datasets):
     """joint_location=True appends stage 6: a JointLocationTask seeded from
     the fine-tuned composite (rir encoder + codebook copied), trained on the
