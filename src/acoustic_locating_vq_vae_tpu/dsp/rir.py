@@ -79,10 +79,11 @@ def beta_from_rt60_traced(room: Sequence[float], rt60: jax.Array, c: float = 340
     return jnp.sqrt(jnp.maximum(1.0 - alpha, 0.0))
 
 
-def _image_grid(
+def _image_grid_bounds(
     room: Sequence[float], nsample: int, fs: float, c: float, cull: bool = True
 ):
-    """Static enumeration of the image-source lattice as numpy arrays.
+    """Static enumeration of the image-source lattice plus per-image static
+    distance BOUNDS, sorted by static distance (numpy, trace time).
 
     ``cull=True`` drops lattice rows that can NEVER land inside the
     ``nsample``-tap window for ANY source/receiver inside the room (interval
@@ -90,7 +91,15 @@ def _image_grid(
     the kept set is exact — every dynamically contributing image survives —
     but the corner of the L∞ lattice box beyond the L2 horizon (~47% of rows
     for the reference room) is removed at trace time, cutting the scan's
-    image count and therefore RIR synthesis time by ~2x."""
+    image count and therefore RIR synthesis time by ~2x.
+
+    The returned images are SORTED by the midpoint of their [lb, ub]
+    distance interval: a chunk of consecutive sorted images then spans only
+    a small static range of output blocks, so the accumulation contraction
+    can be K-local instead of whole-output (see ``generate_rir``). Returns
+    ``(images (N, 6) int32, dist_lb (N,), dist_ub (N,))`` — the bounds hold
+    for ANY in-room source/receiver, so they are valid for traced positions.
+    """
     cTs = c / fs
     counts = [int(math.ceil(nsample / (2.0 * (dim / cTs)))) for dim in room]
     n1, n2, n3 = counts
@@ -102,8 +111,6 @@ def _image_grid(
     flat = [g.reshape(-1) for g in grid]
     # (N, 6): mx, my, mz, q, j, k
     images = np.stack(flat, axis=1).astype(np.int32)
-    if not cull:
-        return images
     L = np.asarray(room, np.float64) / cTs  # room in sample units
     m = images[:, 0:3].astype(np.float64)
     q = images[:, 3:6].astype(np.float64)
@@ -114,17 +121,30 @@ def _image_grid(
     hi = np.where(q == 0, center + L, center)
     # min |pos_i| over the interval: 0 if it straddles 0, else nearest end
     min_abs = np.where((lo <= 0.0) & (hi >= 0.0), 0.0, np.minimum(np.abs(lo), np.abs(hi)))
+    max_abs = np.maximum(np.abs(lo), np.abs(hi))
     dist_lb = np.sqrt(np.sum(min_abs**2, axis=1))
-    # dynamic keep is floor(dist) < nsample i.e. dist < nsample; a lower
-    # bound >= nsample can never contribute
-    return images[dist_lb < nsample]
+    dist_ub = np.sqrt(np.sum(max_abs**2, axis=1))
+    if cull:
+        # dynamic keep is floor(dist) < nsample i.e. dist < nsample; a lower
+        # bound >= nsample can never contribute
+        keep = dist_lb < nsample
+        images, dist_lb, dist_ub = images[keep], dist_lb[keep], dist_ub[keep]
+    order = np.argsort(0.5 * (dist_lb + dist_ub), kind="stable")
+    return images[order], dist_lb[order], dist_ub[order]
+
+
+def _image_grid(
+    room: Sequence[float], nsample: int, fs: float, c: float, cull: bool = True
+):
+    """Back-compat wrapper: the (sorted) image lattice without bounds."""
+    return _image_grid_bounds(room, nsample, fs, c, cull=cull)[0]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "room", "nsample", "fs", "c", "rt60", "beta", "order", "tw", "hp",
-        "method", "chunk", "cull",
+        "method", "chunk", "cull", "block",
     ),
 )
 def generate_rir(
@@ -144,6 +164,7 @@ def generate_rir(
     method: str = "block_matmul",
     chunk: int = 16384,
     cull: bool = True,
+    block: int = 32,
 ) -> jax.Array:
     """Generate one RIR. ``source``/``receiver`` are traced (3,) positions in
     meters; the room geometry / sampling config are static. Returns (nsample,).
@@ -161,6 +182,17 @@ def generate_rir(
     the (static) room, so per-sample reverberation can vary inside one jitted
     program (domain randomization; use :func:`beta_from_rt60_traced` to map a
     traced T60 to beta).
+
+    ``block``: accumulation-block size ``g`` of the block_matmul method (must
+    divide ``tw``; falls back to ``tw`` otherwise). Each image's tw active
+    taps land inside a (g + tw)-wide g-aligned window, so the per-image tap
+    matrix is (chunk, g+tw) — smaller g means less VPU work per image (the
+    round-4 profile showed the tap-matrix elementwise fusion IS the whole
+    cost; g=32 cut it 256→160 columns for ~2x end-to-end). The block-sum
+    contraction stays cheap at any g because the statically distance-sorted
+    image chunks (:func:`_image_grid_bounds`) each touch only K << n_blocks
+    consecutive blocks: a (K, chunk) x (chunk, g+tw) matmul placed with one
+    dynamic slice per chunk.
     """
     if beta_traced is not None:
         if rt60 is not None or beta is not None:
@@ -190,20 +222,22 @@ def generate_rir(
     L = jnp.asarray(np.asarray(room, np.float64) / cTs, jnp.float32)
     betas = jnp.asarray(beta_vals, jnp.float32)
 
-    images = _image_grid(room, nsample, fs, c, cull=cull)  # (N, 6) int32 numpy
-    n_img = images.shape[0]
+    images_np, dist_lb, dist_ub = _image_grid_bounds(room, nsample, fs, c, cull=cull)
+    n_img = images_np.shape[0]
     pad = (-n_img) % chunk
     if pad:
-        # Padding rows marked invalid via a sentinel q=-1 (masked below).
+        # Padding rows marked invalid via a sentinel q=-1 (masked below);
+        # their static bounds reuse the last real row's so chunk block
+        # spans stay tight (their dynamic contribution is zeroed anyway).
         filler = np.zeros((pad, 6), np.int32)
         filler[:, 3] = -1
-        images = np.concatenate([images, filler], axis=0)
-    n_chunks = images.shape[0] // chunk
-    images = jnp.asarray(images.reshape(n_chunks, chunk, 6))
+        images_np = np.concatenate([images_np, filler], axis=0)
+        dist_lb = np.concatenate([dist_lb, np.full(pad, dist_lb[-1])])
+        dist_ub = np.concatenate([dist_ub, np.full(pad, dist_ub[-1])])
+    n_chunks = images_np.shape[0] // chunk
+    images = jnp.asarray(images_np.reshape(n_chunks, chunk, 6))
 
     half = tw // 2
-    nsample_blk = -(-nsample // tw) * tw  # nsample rounded up to Tw multiple
-    n_blocks = nsample_blk // tw + 2  # one pad block each side
 
     def image_gains(img):
         """img: (chunk, 6) -> (dist, gain) with invalid rows zeroed."""
@@ -235,57 +269,87 @@ def generate_rir(
         if tw % 2:
             raise ValueError(
                 f"block_matmul requires even tw (got {tw}): the hoisted tap "
-                "parity assumes (-1)^p == (-1)^n_rel within a block; use "
+                "parity assumes (-1)^p == (-1)^n within a window; use "
                 "method='scatter' for odd tap counts"
             )
-        # Transcendental hoisting: taps sit at INTEGER positions p, so
-        #   sin(pi*(p - d))        = -(-1)^p * sin(pi*d)
-        #   cos(2*pi*(p - d)/Tw)   = cos(2*pi*p/Tw)cos(2*pi*d/Tw)
-        #                          + sin(2*pi*p/Tw)sin(2*pi*d/Tw)
-        # and within a block p = (blk-1)*Tw + n_rel with Tw even, so both
-        # (-1)^p and the 2*pi*p/Tw phases depend only on the STATIC n_rel.
-        # That turns 3 transcendentals per (image, tap) — the measured
-        # bottleneck, ~100M evals per 32-RIR batch — into 3 per image.
-        n_rel_f = np.arange(2 * tw, dtype=np.float32)
-        tapC = jnp.asarray(np.cos(2.0 * np.pi * n_rel_f / tw))[None, :]  # (1, 2tw)
-        tapS = jnp.asarray(np.sin(2.0 * np.pi * n_rel_f / tw))[None, :]
-        tap_parity = jnp.asarray(np.where(np.arange(2 * tw) % 2 == 0, 1.0, -1.0).astype(np.float32))[None, :]
+        g = block if (block > 0 and tw % block == 0 and block % 2 == 0) else tw
+        W = g + tw  # window width: tw active taps at offset < g
+        f_over = W // g  # overlap pieces per window
+        PAD = tw  # padded-domain shift (start_p >= 0 for any dist >= 0)
 
-        def body(acc, img):
+        # Per-chunk static block range from the sorted grid's distance
+        # bounds: chunk c's images can only touch blocks
+        # [base_c, base_c + K): the block-sum contraction is (K, chunk) @
+        # (chunk, W) instead of (n_blocks, chunk) @ (chunk, W) — the
+        # round-4 profile showed the old whole-output contraction +
+        # 2tw-wide tap matrix were ~2x avoidable work.
+        def _blk_of(d):
+            return (np.floor(d) - half + 1 + PAD) // g
+
+        lbc = dist_lb.reshape(n_chunks, chunk)
+        ubc = dist_ub.reshape(n_chunks, chunk)
+        base_blk = _blk_of(lbc.min(axis=1)).astype(np.int32)
+        K = int((_blk_of(ubc.max(axis=1)) - base_blk).max() + 1)
+        n_gb = int(_blk_of(float(nsample - 1)) + K + f_over + 2)
+        base_j = jnp.asarray(base_blk)
+
+        # Transcendental hoisting: taps sit at INTEGER positions p, so with
+        # the window-LOCAL coordinate e = d - (blk*g - PAD) (t = n - e):
+        #   sin(pi*t)            = -(-1)^n * sin(pi*e)
+        #   cos(2*pi*t/Tw)       = cos(2*pi*n/Tw)cos(2*pi*e/Tw)
+        #                        + sin(2*pi*n/Tw)sin(2*pi*e/Tw)
+        # ((-1)^(blk*g - PAD) == 1 for even g; parity(floor e) ==
+        # parity(floor d) likewise). That turns 3 transcendentals per
+        # (image, tap) — the measured bottleneck, ~100M evals per 32-RIR
+        # batch — into 3 per image, with exact range reduction (f32 sin/cos
+        # of pi*d at d~6e3 loses ~1e-3; e mod Tw stays in [0, Tw)).
+        n_rel_f = np.arange(W, dtype=np.float32)
+        tapC = jnp.asarray(np.cos(2.0 * np.pi * n_rel_f / tw))[None, :]  # (1, W)
+        tapS = jnp.asarray(np.sin(2.0 * np.pi * n_rel_f / tw))[None, :]
+        tap_parity = jnp.asarray(
+            np.where(np.arange(W) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        )[None, :]
+
+        def body(acc, xs):
+            img, base = xs
             dist, gain = image_gains(img)
-            start = jnp.floor(dist).astype(jnp.int32) - half + 1  # first tap index
-            start_p = start + tw  # shifted into padded domain, >= 0
-            blk = start_p // tw  # (chunk,)
-            off = start_p - blk * tw  # in [0, tw)
-            n_rel = jnp.arange(2 * tw, dtype=jnp.int32)[None, :]  # (1, 2tw)
-            p_abs = (blk[:, None] + 0) * tw + n_rel - tw  # unpadded index
+            start_p = jnp.floor(dist).astype(jnp.int32) - half + 1 + PAD
+            blk = start_p // g  # (chunk,)
+            off = start_p - blk * g  # in [0, g)
+            n_rel = jnp.arange(W, dtype=jnp.int32)[None, :]  # (1, W)
+            p_abs = blk[:, None] * g + n_rel - PAD  # unpadded index
             t = p_abs.astype(jnp.float32) - dist[:, None]
             active = (n_rel >= off[:, None]) & (n_rel < off[:, None] + tw)
-            # Exact range reduction first — f32 sin/cos of pi*d at d~6e3
-            # loses ~1e-3; the reduced arguments stay in [0, 2pi).
             fdist = jnp.floor(dist)
             frac = dist - fdist  # [0, 1)
-            dmod = dist - tw * jnp.floor(dist / tw)  # d mod Tw, [0, Tw)
-            fd_parity = (1.0 - 2.0 * jnp.mod(fdist, 2.0))[:, None]  # (-1)^floor(d)
-            cos_d = jnp.cos(2.0 * jnp.pi * dmod / tw)[:, None]  # (chunk, 1)
-            sin_d = jnp.sin(2.0 * jnp.pi * dmod / tw)[:, None]
-            sin_pd = fd_parity * jnp.sin(jnp.pi * frac)[:, None]  # == sin(pi d)
-            window = 0.5 * (1.0 + tapC * cos_d + tapS * sin_d)  # == 0.5(1+cos(2pi t/Tw))
-            sin_pt = -tap_parity * sin_pd  # == sin(pi t)
+            e = dist - (blk * g - PAD).astype(jnp.float32)  # window-local d
+            emod = e - tw * jnp.floor(e / tw)  # e mod Tw, [0, Tw)
+            fd_parity = (1.0 - 2.0 * jnp.mod(fdist, 2.0))[:, None]
+            cos_e = jnp.cos(2.0 * jnp.pi * emod / tw)[:, None]  # (chunk, 1)
+            sin_e = jnp.sin(2.0 * jnp.pi * emod / tw)[:, None]
+            sin_pe = fd_parity * jnp.sin(jnp.pi * frac)[:, None]  # == sin(pi e)
+            window = 0.5 * (1.0 + tapC * cos_e + tapS * sin_e)  # == 0.5(1+cos(2pi t/Tw))
+            sin_pt = -tap_parity * sin_pe  # == sin(pi t)
             sinc = jnp.where(t == 0.0, 1.0, sin_pt / (jnp.pi * t + 1e-30))
-            vals = jnp.where(active, gain[:, None] * window * sinc, 0.0)  # (chunk, 2tw)
-            onehot = jax.nn.one_hot(blk, n_blocks, dtype=vals.dtype)  # (chunk, C)
-            acc = acc + onehot.T @ vals  # MXU: (C, chunk) @ (chunk, 2tw)
-            return acc, None
+            vals = jnp.where(active, gain[:, None] * window * sinc, 0.0)  # (chunk, W)
+            # K-local block sum: padding rows (gain 0) may clip out of the
+            # chunk's static range; real rows are in range by construction.
+            loc = jnp.clip(blk - base, 0, K - 1)
+            onehot = jax.nn.one_hot(loc, K, dtype=vals.dtype)  # (chunk, K)
+            local = jax.lax.dot_general(onehot, vals, (((0,), (0,)), ((), ())))
+            cur = jax.lax.dynamic_slice(acc, (base, 0), (K, W))
+            return jax.lax.dynamic_update_slice(acc, cur + local, (base, 0)), None
 
-        acc0 = jnp.zeros((n_blocks, 2 * tw), jnp.float32)
-        out_blocks, _ = jax.lax.scan(body, acc0, images)
-        # Fold overlapping halves: padded[c*tw + rpos] = ob[c, rpos] + ob[c-1, tw + rpos]
-        prev_tail = jnp.concatenate(
-            [jnp.zeros((1, tw), jnp.float32), out_blocks[:-1, tw:]], axis=0
-        )
-        padded = (out_blocks[:, :tw] + prev_tail).reshape(-1)
-        imp = padded[tw : tw + nsample]
+        acc0 = jnp.zeros((n_gb, W), jnp.float32)
+        out_blocks, _ = jax.lax.scan(body, acc0, (images, base_j))
+        # Fold the f_over overlapping g-wide pieces of every window:
+        # padded[(b + r) * g + j] += ob[b, r * g + j]
+        pieces = out_blocks.reshape(n_gb, f_over, g)
+        folded = jnp.zeros((n_gb + f_over - 1, g), jnp.float32)
+        for r in range(f_over):
+            folded = folded.at[r : r + n_gb].add(pieces[:, r])
+        padded = folded.reshape(-1)
+        imp = padded[PAD : PAD + nsample]
 
     elif method == "scatter":
 
