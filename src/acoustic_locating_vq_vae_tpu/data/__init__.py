@@ -17,6 +17,7 @@ from .synth import (
     bank_thetas,
     make_dataset,
     make_rir_bank,
+    geometry_boxes,
     max_source_radius,
     observed_power_spec,
     prune_batch,
@@ -40,6 +41,7 @@ __all__ = [
     "make_dataset",
     "synthesize_batch",
     "make_rir_bank",
+    "geometry_boxes",
     "max_source_radius",
     "prune_batch",
     "bank_thetas",

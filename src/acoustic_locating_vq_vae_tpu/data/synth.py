@@ -44,6 +44,7 @@ __all__ = [
     "make_dataset",
     "make_rir_bank",
     "bank_thetas",
+    "geometry_boxes",
     "max_source_radius",
     "observed_power_spec",
 ]
@@ -84,6 +85,27 @@ def max_source_radius(config: DatasetConfig) -> float:
     rx, ry = config.receiver_position[0], config.receiver_position[1]
     lx, ly = config.room_dimensions[0], config.room_dimensions[1]
     return float(min(rx, lx - rx, ry, ly - ry))
+
+
+def geometry_boxes(config: DatasetConfig, r_hi: float):
+    """Static ``(source_box, receiver_box)`` for the task's geometry: the
+    receiver is a fixed point and the source lies on a radius-``<= r_hi``
+    circle at fixed height around it, upper-wall-clipped exactly like
+    :func:`..dsp.specs.source_coordinates` (``min(pos, room)``; no lower
+    clip — reference quirk). Feeding these to :func:`..dsp.rir.generate_rir`
+    tightens its static image culling far beyond the whole-room default
+    (round 4): the boxes bound every position the synthesis paths can
+    actually draw, so the cull stays exact by construction."""
+    rx, ry, rz = (float(v) for v in config.receiver_position)
+    lx, ly, lz = (float(v) for v in config.room_dimensions)
+    r_hi = float(r_hi)
+    sz = min(rz + float(config.Z_LOC_SOURCE), lz)  # fixed source height
+    source_box = (
+        (min(rx - r_hi, lx), min(ry - r_hi, ly), sz),
+        (min(rx + r_hi, lx), min(ry + r_hi, ly), sz),
+    )
+    receiver_box = ((rx, ry, rz), (rx, ry, rz))
+    return source_box, receiver_box
 
 
 class SampleBatch(struct.PyTreeNode):
@@ -197,10 +219,15 @@ def make_rir_bank(
         src = source_coordinates(
             thetas, receiver, room, radius=R, z_loc=config.Z_LOC_SOURCE
         )
+        # bank geometry is fully static: box the cull at exactly this radius
+        sbox, rbox = geometry_boxes(config, R)
         rows = []
         for i in range(0, n_theta, batch):
             rows.append(
-                generate_rir_batch(src[i : i + batch], receiver, rt60=float(rt60), **kw)
+                generate_rir_batch(
+                    src[i : i + batch], receiver, rt60=float(rt60),
+                    source_box=sbox, receiver_box=rbox, **kw,
+                )
             )
         return jnp.concatenate(rows, axis=0)
 
@@ -220,7 +247,7 @@ def make_rir_bank(
     jax.jit,
     static_argnames=(
         "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk",
-        "rt60_range", "radius_range", "snr_range", "snr_clean_prob",
+        "rt60_range", "radius_range", "snr_range", "snr_clean_prob", "geom_cull",
     ),
 )
 def synthesize_batch(
@@ -239,6 +266,7 @@ def synthesize_batch(
     radius: Optional[jnp.ndarray] = None,
     snr_range: Optional[tuple] = None,
     snr_clean_prob: float = 0.0,
+    geom_cull: bool = True,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -415,6 +443,18 @@ def synthesize_batch(
 
     receiver = jnp.asarray(config.receiver_position, jnp.float32)
     room = jnp.asarray(config.room_dimensions, jnp.float32)
+    # Static upper bound on the source radius, when one is knowable at trace
+    # time — it feeds the geometry-boxed image culling below. A traced
+    # ``radius`` array (given-geometry synthesis, e.g. tracking) has no
+    # static bound: fall back to the whole-room cull.
+    static_r_hi: Optional[float] = None
+    if radius is not None:
+        if isinstance(radius, (int, float, np.floating, np.integer)):
+            static_r_hi = float(radius)
+    elif radius_range is not None:
+        static_r_hi = float(radius_range[1])
+    else:
+        static_r_hi = float(config.R)
     if radius is not None:
         radius = jnp.asarray(radius, jnp.float32)
     else:
@@ -453,6 +493,12 @@ def synthesize_batch(
         c=config.c,
         chunk=rir_chunk,
     )
+    if geom_cull and static_r_hi is not None:
+        # Geometry-boxed static culling (round 4): the receiver is fixed and
+        # every source this call can draw lies inside the box — exact by
+        # construction, fewer lattice rows + tighter K than the room cull.
+        sbox, rbox = geometry_boxes(config, static_r_hi)
+        rir_kw.update(source_box=sbox, receiver_box=rbox)
     if rir_bank is not None:
         if rir_bank.ndim == 2:
             h = rir_bank[idx]

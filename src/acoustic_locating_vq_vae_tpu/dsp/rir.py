@@ -80,7 +80,8 @@ def beta_from_rt60_traced(room: Sequence[float], rt60: jax.Array, c: float = 340
 
 
 def _image_grid_bounds(
-    room: Sequence[float], nsample: int, fs: float, c: float, cull: bool = True
+    room: Sequence[float], nsample: int, fs: float, c: float, cull: bool = True,
+    source_box=None, receiver_box=None,
 ):
     """Static enumeration of the image-source lattice plus per-image static
     distance BOUNDS, sorted by static distance (numpy, trace time).
@@ -93,12 +94,23 @@ def _image_grid_bounds(
     for the reference room) is removed at trace time, cutting the scan's
     image count and therefore RIR synthesis time by ~2x.
 
+    ``source_box`` / ``receiver_box`` (round 4): optional per-axis position
+    bounds ``((lox, loy, loz), (hix, hiy, hiz))`` in METERS that replace the
+    whole-room intervals in that interval arithmetic. The localization task's
+    geometry is a FIXED receiver and a source on a bounded annulus at fixed
+    height (dsp/specs.py source_coordinates), so its boxes are far tighter
+    than the room: more horizon-shell rows cull away and the per-chunk block
+    ranges (K) shrink. Exact iff the actual traced positions lie inside the
+    boxes — callers own that invariant (data/synth.py derives boxes from the
+    same config it draws positions from).
+
     The returned images are SORTED by the midpoint of their [lb, ub]
     distance interval: a chunk of consecutive sorted images then spans only
     a small static range of output blocks, so the accumulation contraction
     can be K-local instead of whole-output (see ``generate_rir``). Returns
     ``(images (N, 6) int32, dist_lb (N,), dist_ub (N,))`` — the bounds hold
-    for ANY in-room source/receiver, so they are valid for traced positions.
+    for ANY source/receiver inside the boxes (default: the room), so they
+    are valid for traced positions.
     """
     cTs = c / fs
     counts = [int(math.ceil(nsample / (2.0 * (dim / cTs)))) for dim in room]
@@ -115,10 +127,22 @@ def _image_grid_bounds(
     m = images[:, 0:3].astype(np.float64)
     q = images[:, 3:6].astype(np.float64)
     center = 2.0 * m * L[None, :]
-    # q=0: pos_i = s_i - r_i + 2 m_i L_i  in [c - L_i, c + L_i]
-    # q=1: pos_i = -s_i - r_i + 2 m_i L_i in [c - 2 L_i, c]
-    lo = np.where(q == 0, center - L, center - 2.0 * L)
-    hi = np.where(q == 0, center + L, center)
+
+    def _box(box):
+        if box is None:
+            return np.zeros(3), L.copy()
+        lo = np.asarray(box[0], np.float64) / cTs
+        hi = np.asarray(box[1], np.float64) / cTs
+        if lo.shape != (3,) or hi.shape != (3,) or np.any(lo > hi):
+            raise ValueError(f"box must be ((lox,loy,loz),(hix,hiy,hiz)) with lo<=hi, got {box!r}")
+        return lo, hi
+
+    s_lo, s_hi = _box(source_box)
+    r_lo, r_hi = _box(receiver_box)
+    # q=0: pos_i = s_i - r_i + 2 m_i L_i  in [c + s_lo - r_hi, c + s_hi - r_lo]
+    # q=1: pos_i = -s_i - r_i + 2 m_i L_i in [c - s_hi - r_hi, c - s_lo - r_lo]
+    lo = np.where(q == 0, center + (s_lo - r_hi), center - (s_hi + r_hi))
+    hi = np.where(q == 0, center + (s_hi - r_lo), center - (s_lo + r_lo))
     # min |pos_i| over the interval: 0 if it straddles 0, else nearest end
     min_abs = np.where((lo <= 0.0) & (hi >= 0.0), 0.0, np.minimum(np.abs(lo), np.abs(hi)))
     max_abs = np.maximum(np.abs(lo), np.abs(hi))
@@ -144,7 +168,7 @@ def _image_grid(
     jax.jit,
     static_argnames=(
         "room", "nsample", "fs", "c", "rt60", "beta", "order", "tw", "hp",
-        "method", "chunk", "cull", "block",
+        "method", "chunk", "cull", "block", "source_box", "receiver_box",
     ),
 )
 def generate_rir(
@@ -165,6 +189,8 @@ def generate_rir(
     chunk: int = 16384,
     cull: bool = True,
     block: int = 32,
+    source_box: Optional[tuple] = None,
+    receiver_box: Optional[tuple] = None,
 ) -> jax.Array:
     """Generate one RIR. ``source``/``receiver`` are traced (3,) positions in
     meters; the room geometry / sampling config are static. Returns (nsample,).
@@ -173,6 +199,15 @@ def generate_rir(
     any IN-ROOM source/receiver (see :func:`_image_grid`) — exact for in-room
     positions (which :func:`..dsp.specs.source_coordinates` guarantees by
     clipping); set False for out-of-room experiments.
+
+    ``source_box`` / ``receiver_box``: optional STATIC hashable per-axis
+    position bounds ``((lox, loy, loz), (hix, hiy, hiz))`` in meters that
+    tighten the cull's interval arithmetic beyond the whole room (round 4;
+    see :func:`_image_grid_bounds`). Culling-only: the output is exact iff
+    the traced positions actually lie inside the boxes — out-of-box
+    positions silently lose taps. ``data/synth.py`` derives boxes from the
+    same geometry config it draws positions from, which keeps the invariant
+    by construction.
 
     Drop-in semantics of ``rir.generate(c, fs, r, s, L, reverberation_time,
     nsample)`` (genereate_dataset.py:21-29) with omnidirectional microphone.
@@ -222,7 +257,10 @@ def generate_rir(
     L = jnp.asarray(np.asarray(room, np.float64) / cTs, jnp.float32)
     betas = jnp.asarray(beta_vals, jnp.float32)
 
-    images_np, dist_lb, dist_ub = _image_grid_bounds(room, nsample, fs, c, cull=cull)
+    images_np, dist_lb, dist_ub = _image_grid_bounds(
+        room, nsample, fs, c, cull=cull,
+        source_box=source_box, receiver_box=receiver_box,
+    )
     n_img = images_np.shape[0]
     pad = (-n_img) % chunk
     if pad:

@@ -685,3 +685,25 @@ def test_synthesize_batch_given_geometry_exclusions():
         D.synthesize_batch(
             key, 2, SMALL, radius=jnp.ones(2), radius_range=(0.8, 1.2), rir_chunk=2048
         )
+
+
+def test_synthesize_batch_geom_cull_equivalence():
+    """geom_cull (round 4: geometry-boxed static image culling, on by
+    default) changes nothing beyond f32 accumulation order. The raw
+    spectrogram leaves agree to ~1e-6; rir_spec is a near-null-bin RATIO
+    (speech/(echoed+1e-8)) that amplifies e-8 waveform noise, so it is
+    compared only on well-conditioned bins (the same conditioning caveat
+    applies to ANY e-8 perturbation — chunking, bf16, accumulation order)."""
+    key = jax.random.PRNGKey(11)
+    for kwargs in ({}, {"radius_range": (0.2, 0.8)}, {"rt60_range": (0.25, 0.55)}):
+        a = D.synthesize_batch(key, 3, SMALL, rir_chunk=2048, geom_cull=True, **kwargs)
+        b = D.synthesize_batch(key, 3, SMALL, rir_chunk=2048, geom_cull=False, **kwargs)
+        np.testing.assert_allclose(np.asarray(a.speech_spec), np.asarray(b.speech_spec), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.echoed_spec), np.asarray(b.echoed_spec), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.wiener_est), np.asarray(b.wiener_est), atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.radius), np.asarray(b.radius))
+        ok = np.asarray(b.echoed_spec) > 1e-4  # well-conditioned ratio bins
+        np.testing.assert_allclose(
+            np.asarray(a.rir_spec)[ok], np.asarray(b.rir_spec)[ok], atol=1e-3
+        )

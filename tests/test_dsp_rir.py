@@ -282,3 +282,50 @@ def test_image_culling_reduces_lattice():
     full = _image_grid(ROOM, 6400, 16000.0, 340.0, cull=False)
     culled = _image_grid(ROOM, 6400, 16000.0, 340.0, cull=True)
     assert culled.shape[0] < 0.6 * full.shape[0]  # ~1.9x fewer at reference scale
+
+
+def test_geometry_boxed_culling_is_exact():
+    """Round-4 geometry-boxed culling: with source/receiver boxes matching
+    the task geometry (fixed receiver, source on a bounded circle at fixed
+    height — data/synth.py geometry_boxes), the boxed cull equals the
+    unculled synthesis to f32 accumulation order for every in-box position,
+    including the radius boundary."""
+    from acoustic_locating_vq_vae_tpu.data import DatasetConfig, geometry_boxes
+
+    cfg = DatasetConfig()  # geometry fields only; nsample/fs come from kw
+    r_hi = 1.0
+    sb, rb = geometry_boxes(cfg, r_hi)
+    kw = dict(room=ROOM, nsample=NSAMPLE, fs=FS, rt60=0.4, chunk=512)
+    recv = jnp.asarray(RECEIVER, jnp.float32)
+    for theta in np.linspace(-np.pi, np.pi, 7):
+        for r in (0.15, r_hi):
+            s = np.minimum(
+                RECEIVER + np.array([r * np.cos(theta), r * np.sin(theta), 1.0]),
+                np.asarray(ROOM),
+            )
+            a = dsp.generate_rir(
+                jnp.asarray(s, jnp.float32), recv, cull=True,
+                source_box=sb, receiver_box=rb, **kw,
+            )
+            b = dsp.generate_rir(jnp.asarray(s, jnp.float32), recv, cull=False, **kw)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-7, rtol=0,
+                err_msg=f"theta={theta} r={r}",
+            )
+
+
+def test_geometry_boxed_culling_tightens_lattice():
+    """At reference scale the geometry boxes cull ~10% more lattice rows than
+    the whole-room cull AND shrink the per-row static distance intervals ~6x
+    (the intervals drive the K-local block span of the accumulation)."""
+    from acoustic_locating_vq_vae_tpu.data import DatasetConfig, geometry_boxes
+    from acoustic_locating_vq_vae_tpu.dsp.rir import _image_grid_bounds
+
+    cfg = DatasetConfig()
+    sb, rb = geometry_boxes(cfg, 1.45)
+    plain, lb_p, ub_p = _image_grid_bounds(ROOM, 6400, 16000.0, 340.0, cull=True)
+    boxed, lb_b, ub_b = _image_grid_bounds(
+        ROOM, 6400, 16000.0, 340.0, cull=True, source_box=sb, receiver_box=rb
+    )
+    assert boxed.shape[0] < 0.95 * plain.shape[0]
+    assert float(np.mean(ub_b - lb_b)) < 0.3 * float(np.mean(ub_p - lb_p))
