@@ -445,12 +445,17 @@ def synthesize_batch(
     room = jnp.asarray(config.room_dimensions, jnp.float32)
     # Static upper bound on the source radius, when one is knowable at trace
     # time — it feeds the geometry-boxed image culling below. A traced
-    # ``radius`` array (given-geometry synthesis, e.g. tracking) has no
-    # static bound: fall back to the whole-room cull.
+    # ``radius`` array (given-geometry synthesis inside jit, e.g. tracking)
+    # has no static bound: fall back to the whole-room cull. A CONCRETE
+    # given radius uses max(radius) so that replaying a drawn geometry
+    # culls the same lattice (bit-exact replay when the drawn bound equals
+    # the replayed max, e.g. fixed config.R).
     static_r_hi: Optional[float] = None
     if radius is not None:
         if isinstance(radius, (int, float, np.floating, np.integer)):
             static_r_hi = float(radius)
+        elif not isinstance(radius, jax.core.Tracer):
+            static_r_hi = float(jnp.max(jnp.asarray(radius)))
     elif radius_range is not None:
         static_r_hi = float(radius_range[1])
     else:

@@ -651,17 +651,35 @@ def test_sample_without_replacement_uniform():
 def test_synthesize_batch_given_geometry():
     """Given-geometry synthesis (synthesize_batch(theta=, radius=)): the
     random streams are consumed identically either way, so feeding back the
-    geometry a random draw produced reproduces that draw bit-exactly; and
-    the given values land verbatim in the labels."""
+    geometry a random draw produced reproduces that draw. Labels land
+    verbatim. The spectrogram fields are compared to f32-accumulation
+    tolerance, not bitwise: the replay program takes theta/radius as
+    OPERANDS where the drawn program folded a constant radius, and XLA may
+    fuse the two programs differently (measured: bit-equal on TPU, ~4e-8
+    on CPU). rir_spec is a near-null-bin ratio that amplifies e-8 waveform
+    noise, so it is compared only on well-conditioned bins — the same
+    caveat test_synthesize_batch_geom_cull_equivalence documents. A
+    concrete given radius also reuses the drawn path's geometry-boxed cull
+    (static bound = max(radius)), so the culled lattice is identical."""
     key = jax.random.PRNGKey(11)
     drawn = D.synthesize_batch(key, 3, SMALL, rir_chunk=2048)
     replay = D.synthesize_batch(
         key, 3, SMALL, rir_chunk=2048, theta=drawn.theta, radius=drawn.radius
     )
-    for name in ("speech_spec", "echoed_spec", "rir_spec", "theta", "radius"):
+    for name in ("theta", "radius"):
         np.testing.assert_array_equal(
             np.asarray(getattr(drawn, name)), np.asarray(getattr(replay, name))
         )
+    for name in ("speech_spec", "echoed_spec"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(drawn, name)),
+            np.asarray(getattr(replay, name)),
+            atol=1e-6,
+        )
+    ok = np.asarray(drawn.echoed_spec) > 1e-4  # well-conditioned ratio bins
+    np.testing.assert_allclose(
+        np.asarray(drawn.rir_spec)[ok], np.asarray(replay.rir_spec)[ok], atol=1e-3
+    )
 
     theta = jnp.asarray([-3.0, 0.0, 2.0], jnp.float32)
     radius = jnp.asarray([0.6, 1.0, 1.3], jnp.float32)
