@@ -211,6 +211,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "than all-exact training",
     )
     p.add_argument(
+        "--polish-bank-prob", type=float, default=0.0, metavar="P",
+        help="(--bank-pretrain-updates) soften the bank->exact leg boundary: "
+        "each polish-leg sample draws from the RIR bank with probability P "
+        "(geometry snapped to the bank grid, labels matching) and pays exact "
+        "synthesis otherwise — per-sample mixed sampling instead of the hard "
+        "distribution switch, whose jump roughly doubles the training error "
+        "and needs ~50k updates to re-converge (run H vs run J, "
+        "VALIDATION.md). 0 (default) = the validated hard switch",
+    )
+    p.add_argument(
         "--librispeech-dir", default=None,
         help="root of a LibriSpeech checkout to use as the speech corpus "
         "(walks <root>/LibriSpeech/<url>/... without torchaudio; .wav via "
@@ -579,7 +589,11 @@ def recipe_kwargs(args):
     exact = dict(getattr(args, "_exact_synth_kwargs", {}) or {})
     if getattr(args, "_speech_pool", None) is not None:
         exact["speech_pool"] = args._speech_pool
-    return {"bank_updates": int(n), "exact_synth_kwargs": exact}
+    return {
+        "bank_updates": int(n),
+        "exact_synth_kwargs": exact,
+        "polish_bank_prob": float(getattr(args, "polish_bank_prob", 0.0)),
+    }
 
 
 def latency_bench(fn, example, iters: int, batch: int) -> dict:

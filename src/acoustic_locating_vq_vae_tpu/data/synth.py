@@ -248,6 +248,7 @@ def make_rir_bank(
     static_argnames=(
         "config", "batch", "fixed_rir", "fixed_speech", "rir_chunk",
         "rt60_range", "radius_range", "snr_range", "snr_clean_prob", "geom_cull",
+        "bank_mix_prob",
     ),
 )
 def synthesize_batch(
@@ -267,6 +268,7 @@ def synthesize_batch(
     snr_range: Optional[tuple] = None,
     snr_clean_prob: float = 0.0,
     geom_cull: bool = True,
+    bank_mix_prob: Optional[float] = None,
 ) -> SampleBatch:
     """Synthesize ``batch`` samples on device.
 
@@ -343,13 +345,44 @@ def synthesize_batch(
     clean draws anchor the noiseless operating point while the noisy draws
     harden the rest. Its own fold_in stream, so the SNR/noise draws of the
     non-clean samples are identical to a snr_clean_prob=0 run.
+
+    ``bank_mix_prob``: per-sample MIXED bank/exact synthesis (round 5,
+    VERDICT r4 weak #3): with probability p a sample's continuous geometry
+    draw is snapped to the bank grid and its RIR gathered from ``rir_bank``
+    (theta to its grid cell's center; radius to the nearest
+    ``rir_bank_radii`` value; the bank's T60 axis drawn uniformly); with
+    probability 1-p the sample keeps the continuous draw and pays exact
+    image-source synthesis. Labels always match the RIR actually used.
+    Softens the distribution shift at the ``fit_joint_recipe`` bank->exact
+    leg boundary, whose hard switch doubles the training error at small
+    polish budgets (run J: 0.163 -> 0.315 at the 60k switch). Requires
+    ``rir_bank`` and 0 < p < 1; unlike the pure-bank path it ALLOWS
+    ``rt60_range`` / ``radius_range`` (they parameterize the exact side);
+    excludes ``fixed_rir`` and given ``theta`` / ``radius``. The mix mask
+    and the bank T60 index ride their own fold_in streams, so the
+    continuous draws are identical to a ``bank_mix_prob=None`` run with
+    the same key (the exact-side samples of a mixed run reproduce the
+    pure-exact run's samples exactly).
     """
-    if rir_bank is not None and rt60_range is not None:
+    if bank_mix_prob is not None:
+        if rir_bank is None:
+            raise ValueError("bank_mix_prob requires rir_bank")
+        if not 0.0 < float(bank_mix_prob) < 1.0:
+            raise ValueError(
+                f"bank_mix_prob must be strictly between 0 and 1 (use "
+                f"rir_bank=None for pure exact, no bank_mix_prob for pure "
+                f"bank), got {bank_mix_prob}"
+            )
+        if fixed_rir or theta is not None or radius is not None:
+            raise ValueError(
+                "bank_mix_prob excludes fixed_rir and given theta/radius"
+            )
+    if rir_bank is not None and rt60_range is not None and bank_mix_prob is None:
         raise ValueError(
             "rir_bank excludes rt60_range: use a 3-D bank (make_rir_bank "
             "rt60s=...) for reverberation randomization"
         )
-    if rir_bank is not None and radius_range is not None:
+    if rir_bank is not None and radius_range is not None and bank_mix_prob is None:
         raise ValueError(
             "rir_bank excludes radius_range: the bank's RIRs are "
             "precomputed at fixed radii — use a radius-gridded bank "
@@ -399,6 +432,17 @@ def synthesize_batch(
             f"n_sample), or the 4-D radius-gridded layout, got ndim "
             f"{rir_bank.ndim}"
         )
+    if (
+        bank_mix_prob is not None
+        and radius_range is not None
+        and rir_bank_radii is None
+    ):
+        raise ValueError(
+            "bank_mix_prob with radius_range requires a radius-gridded bank "
+            "(make_rir_bank(radii=...) + rir_bank_radii): a bank without a "
+            "radius axis holds RIRs at the fixed config.R, so its samples' "
+            "radius labels could not match their RIRs"
+        )
     if radius_range is not None:
         lo, hi = float(radius_range[0]), float(radius_range[1])
         max_r = max_source_radius(config)
@@ -430,7 +474,7 @@ def synthesize_batch(
 
     if theta is not None:
         theta = jnp.broadcast_to(jnp.asarray(theta, jnp.float32), (batch,))
-    elif rir_bank is not None:
+    elif rir_bank is not None and bank_mix_prob is None:
         n_theta = rir_bank.shape[-2]
         idx = jax.random.randint(k_theta, (batch,), 0, n_theta)
         if fixed_rir:
@@ -474,7 +518,7 @@ def synthesize_batch(
         if fixed_rir:
             radius = jnp.broadcast_to(radius[:1], radius.shape)
     r_idx = None
-    if rir_bank_radii is not None:
+    if rir_bank_radii is not None and bank_mix_prob is None:
         # same fold_in slot as radius_range — it IS the radius stream, just
         # grid-valued; every other stream stays identical either way
         r_idx = jax.random.randint(
@@ -504,7 +548,7 @@ def synthesize_batch(
         # construction, fewer lattice rows + tighter K than the room cull.
         sbox, rbox = geometry_boxes(config, static_r_hi)
         rir_kw.update(source_box=sbox, receiver_box=rbox)
-    if rir_bank is not None:
+    if rir_bank is not None and bank_mix_prob is None:
         if rir_bank.ndim == 2:
             h = rir_bank[idx]
         else:  # leading T60 grid axis (length 1 when built without rt60s)
@@ -535,6 +579,44 @@ def synthesize_batch(
             h = jnp.broadcast_to(rir_fn(src[0])[None], (batch, config.n_sample))
         else:
             h = jax.vmap(rir_fn)(src)
+
+    if bank_mix_prob is not None:
+        # Per-sample bank/exact mixing: snap the continuous draw to the bank
+        # grid for the bank-chosen samples. Own fold_in streams (mask: 23,
+        # bank T60 index: 29) keep every continuous draw identical to a
+        # bank_mix_prob=None run with the same key.
+        n_theta = rir_bank.shape[-2]
+        cell = 2.0 * jnp.pi / n_theta
+        t_idx = jnp.clip(
+            jnp.floor((theta + jnp.pi) / cell).astype(jnp.int32), 0, n_theta - 1
+        )
+        theta_grid = -jnp.pi + (t_idx.astype(jnp.float32) + 0.5) * cell
+        radius_b = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (batch,))
+        radius_snapped = radius_b
+        if rir_bank.ndim == 2:
+            h_bank = rir_bank[t_idx]
+        else:
+            # The bank's T60-axis grid values aren't carried with the array,
+            # so the bank side draws a uniform grid index (T60 is domain
+            # randomization, not a label — no consistency to preserve).
+            t60_idx = jax.random.randint(
+                jax.random.fold_in(key, 29), (batch,), 0, rir_bank.shape[0]
+            )
+            if rir_bank.ndim == 3:
+                h_bank = rir_bank[t60_idx, t_idx]
+            else:
+                ridx = jnp.argmin(
+                    jnp.abs(radius_b[:, None] - rir_bank_radii[None, :]), axis=1
+                )
+                h_bank = rir_bank[t60_idx, ridx, t_idx]
+                radius_snapped = rir_bank_radii[ridx]
+        use_bank = (
+            jax.random.uniform(jax.random.fold_in(key, 23), (batch,))
+            < float(bank_mix_prob)
+        )
+        h = jnp.where(use_bank[:, None], h_bank, h)
+        theta = jnp.where(use_bank, theta_grid, theta)
+        radius = jnp.where(use_bank, radius_snapped, radius_b)
 
     echoed = fft_convolve(speech, h, mode="same")
     if snr_range is not None:

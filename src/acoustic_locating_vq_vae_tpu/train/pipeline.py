@@ -80,6 +80,7 @@ def fit_joint_recipe(
     exact_synth_kwargs: Optional[Dict] = None,
     resume: bool = False,
     initial_state: Optional[TrainState] = None,
+    polish_bank_prob: float = 0.0,
     **trainer_kwargs,
 ) -> Tuple[TrainState, TrainHistory]:
     """The validated production recipe as ONE invocation (VALIDATION.md runs
@@ -94,13 +95,46 @@ def fit_joint_recipe(
     leg 1 ends with a periodic checkpoint and suppresses the stage-final tag
     (``fit(save_final=False)``), so the stage only reads as complete after
     the polish — and ``resume=True`` restarts a crashed run inside whichever
-    leg it died in (a restore past ``bank_updates`` makes leg 1 a no-op)."""
+    leg it died in (a restore past ``bank_updates`` makes leg 1 a no-op).
+
+    The hard bank->exact switch is a distribution shift the polish leg must
+    re-converge through: the training error roughly DOUBLES at the boundary
+    and decays back over tens of thousands of updates (run J: 0.163 -> 0.315
+    at the switch, only 0.224 after a 20k polish; run H's 50k polish
+    re-converged 0.09 -> 0.055 — VERDICT r4 weak #3). Hence two guards:
+    a warning when the polish budget is below the measured ~50k
+    re-convergence horizon, and ``polish_bank_prob`` — per-sample MIXED
+    bank/exact sampling in the polish leg (``synthesize_batch
+    bank_mix_prob``): each polish step draws each sample from the bank with
+    this probability and from exact synthesis otherwise, softening the
+    boundary instead of jumping it. 0 (default) = the validated hard
+    switch."""
     if num_updates is None:
         num_updates = task.num_updates
     if not 0 < bank_updates < num_updates:
         raise ValueError(
             f"bank_updates must satisfy 0 < bank < total updates, got "
             f"{bank_updates} of {num_updates}"
+        )
+    if not 0.0 <= float(polish_bank_prob) < 1.0:
+        raise ValueError(
+            f"polish_bank_prob must be in [0, 1), got {polish_bank_prob}"
+        )
+    polish_updates = num_updates - bank_updates
+    if polish_updates < 50_000 and polish_updates < bank_updates:
+        # Skip the warning when the whole run is small (smoke/test budgets
+        # scale both legs down together); warn when a production-sized bank
+        # leg is followed by a polish too short to re-converge.
+        import warnings
+
+        warnings.warn(
+            f"polish leg is {polish_updates} updates — below the measured "
+            f"~50k re-convergence horizon of the bank->exact distribution "
+            f"shift (run H re-converged inside 50k; run J's 20k polish ended "
+            f"WORSE than its bank leg, 0.224 vs 0.163 train error). Either "
+            f"budget >= 50k polish updates or soften the boundary with "
+            f"polish_bank_prob (--polish-bank-prob).",
+            stacklevel=2,
         )
     synth_kw = trainer_kwargs.get("synth_kwargs") or {}
     if "rir_bank" not in synth_kw:
@@ -137,6 +171,12 @@ def fit_joint_recipe(
         )
     tk2 = dict(trainer_kwargs)
     tk2["synth_kwargs"] = dict(exact_synth_kwargs or {})
+    if polish_bank_prob:
+        # Mixed polish: keep the bank as a step operand and mix per sample.
+        tk2["synth_kwargs"]["rir_bank"] = synth_kw["rir_bank"]
+        if "rir_bank_radii" in synth_kw:
+            tk2["synth_kwargs"]["rir_bank_radii"] = synth_kw["rir_bank_radii"]
+        tk2["synth_kwargs"]["bank_mix_prob"] = float(polish_bank_prob)
     trainer2 = Trainer(task, mesh=mesh, checkpoint_dir=store_dir, **tk2)
     if store_dir:
         state, h2 = trainer2.fit(
@@ -182,6 +222,7 @@ def run_pipeline(
     sequence_axis: object = None,
     joint_bank_updates: Optional[int] = None,
     joint_exact_synth_kwargs: Optional[Dict] = None,
+    joint_polish_bank_prob: float = 0.0,
     joint_task_kwargs: Optional[Dict] = None,
     **trainer_kwargs,
 ) -> Dict[str, Any]:
@@ -390,7 +431,8 @@ def run_pipeline(
                 joint_task, key6, train_data, val_data, store_dir, mesh,
                 composite_params=ft_params, bank_updates=joint_bank_updates,
                 num_updates=updates.get("location_joint"),
-                exact_synth_kwargs=joint_exact_synth_kwargs, resume=resume,
+                exact_synth_kwargs=joint_exact_synth_kwargs,
+                polish_bank_prob=joint_polish_bank_prob, resume=resume,
                 **trainer_kwargs,
             )
             results["location_joint"] = (j_state.params, h, j_state.variables)

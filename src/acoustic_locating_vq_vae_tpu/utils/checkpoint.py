@@ -68,6 +68,20 @@ class StageStore:
 
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
+        tmp = os.path.abspath(os.environ.get("TMPDIR", "/tmp"))
+        if self.root == tmp or self.root.startswith(tmp + os.sep):
+            import warnings
+
+            # A machine reboot wiped a full flagship training run (store +
+            # corpora) that lived under /tmp — round 4's single costliest
+            # loss. One line here is the guard that would have saved it.
+            warnings.warn(
+                f"StageStore root {self.root!r} is under {tmp!r}, which this "
+                "machine clears on reboot: a long training run saved here "
+                "does not survive a restart. Prefer a durable path (e.g. "
+                "<repo>/stores/).",
+                stacklevel=2,
+            )
         os.makedirs(self.root, exist_ok=True)
         self.manifest_path = os.path.join(self.root, "manifest.json")
 

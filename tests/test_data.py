@@ -725,3 +725,84 @@ def test_synthesize_batch_geom_cull_equivalence():
         np.testing.assert_allclose(
             np.asarray(a.rir_spec)[ok], np.asarray(b.rir_spec)[ok], atol=1e-3
         )
+
+
+def test_synthesize_batch_bank_mix():
+    """Per-sample mixed bank/exact synthesis (bank_mix_prob, round 5 —
+    the fit_joint_recipe boundary softener): bank-chosen samples snap their
+    continuous draws to the bank grid (labels match the gathered RIR);
+    exact-chosen samples are BIT-IDENTICAL to a bank_mix_prob=None run with
+    the same key (the mix mask and bank T60 index ride their own fold_in
+    streams)."""
+    from acoustic_locating_vq_vae_tpu.data.synth import bank_thetas, make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    radii = (0.7, 1.2)
+    bank = make_rir_bank(cfg, n_theta=8, rt60s=(0.3, 0.5), radii=radii, chunk=2048, batch=4)
+    assert bank.shape == (2, 2, 8, cfg.n_sample)
+    key = jax.random.PRNGKey(21)
+    kw = dict(
+        rt60_range=(0.3, 0.5), radius_range=(0.6, 1.3), rir_chunk=2048,
+    )
+    mixed = D.synthesize_batch(
+        key, 16, cfg, rir_bank=bank,
+        rir_bank_radii=jnp.asarray(radii, jnp.float32),
+        bank_mix_prob=0.5, **kw,
+    )
+    exact = D.synthesize_batch(key, 16, cfg, **kw)
+
+    grid = bank_thetas(8)
+    th_m, th_e = np.asarray(mixed.theta), np.asarray(exact.theta)
+    r_m, r_e = np.asarray(mixed.radius), np.asarray(exact.radius)
+    on_grid = np.min(np.abs(grid[None, :] - th_m[:, None]), axis=1) < 1e-6
+    # p=0.5 at B=16: both kinds present for this seed
+    assert on_grid.any() and (~on_grid).any()
+
+    cell = 2 * np.pi / 8
+    for i in range(16):
+        if on_grid[i]:
+            # snapped: theta is the center of the cell the exact draw hit,
+            # radius is the nearest bank radius to the exact draw
+            want_cell = np.clip(np.floor((th_e[i] + np.pi) / cell), 0, 7)
+            assert abs(th_m[i] - grid[int(want_cell)]) < 1e-6
+            assert r_m[i] in np.asarray(radii, np.float32)
+            assert abs(r_m[i] - radii[int(np.argmin(np.abs(np.asarray(radii) - r_e[i])))]) < 1e-7
+        else:
+            # exact side: the whole sample reproduces the pure-exact run
+            assert th_m[i] == th_e[i] and r_m[i] == r_e[i]
+            np.testing.assert_array_equal(
+                np.asarray(mixed.echoed_spec[i]), np.asarray(exact.echoed_spec[i])
+            )
+    for leaf in jax.tree_util.tree_leaves(mixed):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_synthesize_batch_bank_mix_guards():
+    """bank_mix_prob validation: requires a bank, strict (0,1), excludes
+    fixed_rir / given geometry, and refuses radius_range without a
+    radius-gridded bank (labels could not match the gathered RIRs)."""
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+
+    cfg = D.DatasetConfig(n_sample=512, audio_samples=3200, num_frames=100, NFFT=64, HOP_LENGTH=32)
+    key = jax.random.PRNGKey(22)
+    bank2d = jnp.zeros((8, cfg.n_sample), jnp.float32)
+    with pytest.raises(ValueError, match="requires rir_bank"):
+        D.synthesize_batch(key, 2, cfg, bank_mix_prob=0.5, rir_chunk=2048)
+    with pytest.raises(ValueError, match="strictly between"):
+        D.synthesize_batch(key, 2, cfg, rir_bank=bank2d, bank_mix_prob=1.0, rir_chunk=2048)
+    with pytest.raises(ValueError, match="excludes fixed_rir"):
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank2d, bank_mix_prob=0.5, fixed_rir=True, rir_chunk=2048
+        )
+    with pytest.raises(ValueError, match="radius-gridded"):
+        D.synthesize_batch(
+            key, 2, cfg, rir_bank=bank2d, bank_mix_prob=0.5,
+            radius_range=(0.6, 1.3), rir_chunk=2048,
+        )
+    # a 2-D bank without radius_range is fine (both sides at config.R)
+    b = D.synthesize_batch(
+        key, 4, cfg, rir_bank=make_rir_bank(cfg, n_theta=8, chunk=2048, batch=4),
+        bank_mix_prob=0.5, rir_chunk=2048,
+    )
+    assert np.isfinite(np.asarray(b.echoed_spec)).all()
+    np.testing.assert_array_equal(np.asarray(b.radius), np.full(4, cfg.R, np.float32))

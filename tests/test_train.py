@@ -640,6 +640,58 @@ def test_fit_joint_recipe(tmp_path, datasets):
         )
 
 
+def test_fit_joint_recipe_mixed_polish(datasets):
+    """polish_bank_prob (round 5): the polish leg keeps the bank as a step
+    operand and mixes bank/exact per sample (synthesize_batch bank_mix_prob)
+    instead of hard-switching distributions; and the short-polish budget
+    guard warns when the polish leg is under the measured ~50k
+    re-convergence horizon while the bank leg is production-sized."""
+    from acoustic_locating_vq_vae_tpu.data.synth import make_rir_bank
+    from acoustic_locating_vq_vae_tpu.train import (
+        EchoedSpeechTask,
+        JointLocationTask,
+        fit_joint_recipe,
+    )
+
+    train, val = datasets
+    mesh = make_mesh(data=8)
+    comp_task = EchoedSpeechTask(
+        config=SMALL, width_scale=WS, batch_size=8, compat_vq_flatten=False
+    )
+    comp_st = Trainer(comp_task, verbose=False, mesh=mesh).init_state(
+        jax.random.PRNGKey(43), train
+    )
+    bank = make_rir_bank(SMALL, n_theta=8, chunk=2048, batch=4)
+    task = JointLocationTask(config=SMALL, width_scale=WS, batch_size=8)
+    tkw = dict(
+        verbose=False, on_the_fly=True, log_every=1000,
+        synth_kwargs=dict(rir_bank=bank, rir_chunk=2048),
+    )
+    state, hist = fit_joint_recipe(
+        task, jax.random.PRNGKey(44), None, val, None, mesh,
+        composite_params=comp_st.params, bank_updates=4, num_updates=10,
+        exact_synth_kwargs=dict(rir_chunk=2048), polish_bank_prob=0.5, **tkw,
+    )
+    assert int(jax.device_get(state.step)) == 10
+    f = hist.finalize()
+    assert len(f["train"]["location_error"]) == 10
+    assert np.isfinite(f["train"]["location_error"]).all()
+
+    with pytest.raises(ValueError, match="polish_bank_prob"):
+        fit_joint_recipe(
+            task, jax.random.PRNGKey(44), None, val, None, mesh,
+            composite_params=comp_st.params, bank_updates=4, num_updates=10,
+            exact_synth_kwargs={}, polish_bank_prob=1.0, **tkw,
+        )
+    # short-polish budget guard: polish(2) < bank(8) and < 50k -> warn
+    with pytest.warns(UserWarning, match="re-convergence"):
+        fit_joint_recipe(
+            task, jax.random.PRNGKey(44), None, val, None, mesh,
+            composite_params=comp_st.params, bank_updates=8, num_updates=10,
+            exact_synth_kwargs=dict(rir_chunk=2048), **tkw,
+        )
+
+
 def test_pipeline_joint_location_stage(datasets):
     """joint_location=True appends stage 6: a JointLocationTask seeded from
     the fine-tuned composite (rir encoder + codebook copied), trained on the
