@@ -162,13 +162,18 @@ def load_librispeech(
             if data.dtype.kind == "i":
                 data = data.astype(np.float32) / np.iinfo(data.dtype).max
         else:
-            if soundfile is None:
-                raise ImportError(
-                    f"decoding {path} needs the optional soundfile package; "
-                    "install it or convert the corpus to wav (flac --decode "
-                    "keeps the directory layout)"
-                )
-            data, _ = soundfile.read(path, dtype="float32")
+            if soundfile is not None:
+                data, _ = soundfile.read(path, dtype="float32")
+            else:
+                # Built-in pure-Python FLAC decoder (round 5): hermetic
+                # images (like this one) have no soundfile/torchaudio/flac
+                # at all, which previously made the reference's LibriSpeech
+                # corpus role (genereate_dataset.py:93) undecodable here.
+                # Slower than soundfile (~1-3 s per 10 s utterance) but
+                # dependency-free and CRC-verified.
+                from .flac import read_flac
+
+                data, _ = read_flac(path)
         data = np.asarray(data, np.float32)
         if data.ndim > 1:
             data = data.mean(axis=1)

@@ -241,8 +241,12 @@ def test_load_librispeech_flac_via_soundfile_stub(tmp_path, monkeypatch):
     assert pool.shape == (1, 500)
     assert np.allclose(pool[0, :300], 0.25) and np.all(pool[0, 300:] == 0.0)
 
+    # Without soundfile the built-in decoder (data/flac.py, round 5) takes
+    # over — and rejects this fake non-FLAC payload with a clear error
+    # instead of the old ImportError (real-file decode is covered in
+    # tests/test_flac.py::test_load_librispeech_builtin_flac_fallback).
     monkeypatch.setitem(sys.modules, "soundfile", None)  # import -> ImportError
-    with pytest.raises(ImportError, match="soundfile"):
+    with pytest.raises(ValueError, match="truncated metadata"):
         load_librispeech(str(tmp_path), url="dev-clean", num_samples=500)
 
 
