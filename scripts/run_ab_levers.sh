@@ -1,0 +1,42 @@
+#!/bin/bash
+# A/B the two round-4 levers at bank speed (VERDICT r4 next-round item 4):
+# four short joint bank-leg variants from a shared mature store —
+# tail weighting on/off x clean-mix SNR curriculum on/off — each followed by
+# a reduced held-out grid eval (clean cells + SNR sweep).
+#
+# Prereq: a store with stages 1-5 final (e.g. run K's stage-5 snapshot,
+# stores/runK_s5). Each variant copies it so the joint legs are independent
+# but share identical frozen inputs, pool, seed, and bank.
+#
+# Usage: BASE_STORE=/root/repo/stores/runK_s5 bash scripts/run_ab_levers.sh
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+BASE_STORE=${BASE_STORE:-/root/repo/stores/runK_s5}
+CORPUS=${CORPUS:-/root/repo/corpora/corpusJ}
+EVAL_CORPUS=${EVAL_CORPUS:-/root/repo/corpora/corpusJ_eval}
+UPDATES=${UPDATES:-15000}
+N=${N:-100}
+BANK=(--rir-bank 1024 --rir-bank-rt60s 8 --rir-bank-radii 8)
+
+run_variant() {  # name tail_weight snr_clean_prob
+  local name=$1 tw=$2 cp=$3 store=/root/repo/stores/ab_$1
+  echo "=== variant $name (tail-weight $tw, snr-clean-prob $cp) ==="
+  [ -d "$store" ] || cp -r "$BASE_STORE" "$store"
+  python scripts/train_location.py --store-dir "$store" --on-the-fly \
+    --wav-dir "$CORPUS" --joint --predict-radius \
+    --rt60-range 0.12 0.75 --radius-range 0.45 1.45 --snr-range 0 30 \
+    --snr-clean-prob "$cp" --tail-weight "$tw" "${BANK[@]}" \
+    --updates "$UPDATES" --log-every 2000 --seed 11 --resume
+  echo "--- $name clean grid ---"
+  python scripts/eval_t60_sweep.py --store-dir "$store" --wav-dir "$EVAL_CORPUS" \
+    --t60-grid 0.3 0.5 --radius-grid 0.7 1.0 1.3 --n "$N" --seed 4242
+  echo "--- $name SNR sweep ---"
+  python scripts/eval_t60_sweep.py --store-dir "$store" --wav-dir "$EVAL_CORPUS" \
+    --t60-grid 0.4 --radius-grid 1.0 --snr-grid 30 10 0 --n "$N" --seed 4243
+}
+
+run_variant base 0.0 0.0
+run_variant tail 1.0 0.0
+run_variant clean 0.0 0.25
+run_variant both 1.0 0.25
