@@ -17,7 +17,12 @@ CORPUS=${CORPUS:-/root/repo/corpora/corpusJ}
 EVAL_CORPUS=${EVAL_CORPUS:-/root/repo/corpora/corpusJ_eval}
 UPDATES=${UPDATES:-15000}
 N=${N:-100}
-BANK=(--rir-bank 1024 --rir-bank-rt60s 8 --rir-bank-radii 8)
+# Bank resolution is shared by all four variants (the A/B compares the levers
+# against each other, not against the flagship's absolute numbers), so a
+# coarser grid keeps the per-variant bank build short without biasing the
+# comparison. Flagship resolution: BANK_THETA=1024 BANK_T60S=8 BANK_RADII=8.
+BANK=(--rir-bank "${BANK_THETA:-256}" --rir-bank-rt60s "${BANK_T60S:-4}" \
+      --rir-bank-radii "${BANK_RADII:-4}")
 
 run_variant() {  # name tail_weight snr_clean_prob
   local name=$1 tw=$2 cp=$3 store=/root/repo/stores/ab_$1
