@@ -596,6 +596,20 @@ def recipe_kwargs(args):
     }
 
 
+def final_metric(finalized, key, split="train"):
+    """Mean of the last 100 recorded values of a finalized-history metric,
+    or None when the run recorded nothing — which happens legitimately when
+    ``--resume`` finds the stage already at/past ``--updates`` and
+    ``Trainer.fit`` returns without stepping. Callers print a "nothing to
+    train" line instead of crashing on the missing key."""
+    vals = finalized.get(split, {}).get(key)
+    if vals is None or len(vals) == 0:
+        return None
+    import numpy as _np
+
+    return float(_np.asarray(vals)[-100:].mean())
+
+
 def latency_bench(fn, example, iters: int, batch: int) -> dict:
     """Serving-latency benchmark under the tunnel-memoization discipline
     (shared by locate.py --latency and export_localizer.py --latency so the

@@ -2,7 +2,7 @@
 scripts/encoder_training_echoed_model.py: reload the echoed composite,
 unfreeze encoders (codebooks stay frozen), lr=1e-5, 5000 updates."""
 
-from _common import base_parser, setup, task_kwargs, trainer_kwargs
+from _common import base_parser, final_metric, setup, task_kwargs, trainer_kwargs
 
 
 def main():
@@ -42,10 +42,11 @@ def main():
 
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
-    print(
-        f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}; "
-        f"stage 'finetune' saved to {args.store_dir}"
-    )
+    recon = final_metric(f, "recon_error")
+    if recon is None:
+        print(f"stage 'finetune' already at/past {args.updates} updates; nothing to train (--resume)")
+    else:
+        print(f"done: final recon_error {recon:.4f}; stage 'finetune' saved to {args.store_dir}")
 
 
 if __name__ == "__main__":

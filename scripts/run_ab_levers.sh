@@ -23,22 +23,25 @@ N=${N:-100}
 # comparison. Flagship resolution: BANK_THETA=1024 BANK_T60S=8 BANK_RADII=8.
 BANK=(--rir-bank "${BANK_THETA:-256}" --rir-bank-rt60s "${BANK_T60S:-4}" \
       --rir-bank-radii "${BANK_RADII:-4}")
+# SMOKE=1: tiny CPU drive of the whole harness (pair with a --smoke-trained
+# BASE_STORE, e.g. the run_pipeline --smoke store).
+EXTRA=(); [ "${SMOKE:-0}" = 1 ] && EXTRA=(--smoke --platform cpu)
 
 run_variant() {  # name tail_weight snr_clean_prob
-  local name=$1 tw=$2 cp=$3 store=/root/repo/stores/ab_$1
+  local name=$1 tw=$2 cp=$3 store=${AB_ROOT:-/root/repo/stores}/ab_$1
   echo "=== variant $name (tail-weight $tw, snr-clean-prob $cp) ==="
   [ -d "$store" ] || cp -r "$BASE_STORE" "$store"
   python scripts/train_location.py --store-dir "$store" --on-the-fly \
     --wav-dir "$CORPUS" --joint --predict-radius \
     --rt60-range 0.12 0.75 --radius-range 0.45 1.45 --snr-range 0 30 \
-    --snr-clean-prob "$cp" --tail-weight "$tw" "${BANK[@]}" \
+    --snr-clean-prob "$cp" --tail-weight "$tw" "${BANK[@]}" "${EXTRA[@]}" \
     --updates "$UPDATES" --log-every 2000 --seed 11 --resume
   echo "--- $name clean grid ---"
   python scripts/eval_t60_sweep.py --store-dir "$store" --wav-dir "$EVAL_CORPUS" \
-    --t60-grid 0.3 0.5 --radius-grid 0.7 1.0 1.3 --n "$N" --seed 4242
+    --t60-grid 0.3 0.5 --radius-grid 0.7 1.0 1.3 --n "$N" --seed 4242 "${EXTRA[@]}"
   echo "--- $name SNR sweep ---"
   python scripts/eval_t60_sweep.py --store-dir "$store" --wav-dir "$EVAL_CORPUS" \
-    --t60-grid 0.4 --radius-grid 1.0 --snr-grid 30 10 0 --n "$N" --seed 4243
+    --t60-grid 0.4 --radius-grid 1.0 --snr-grid 30 10 0 --n "$N" --seed 4243 "${EXTRA[@]}"
 }
 
 run_variant base 0.0 0.0

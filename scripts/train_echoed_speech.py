@@ -3,7 +3,7 @@ scripts/train_echoed_speech.py. Grafts the pretrained 'speech' and 'rir'
 stage parameters from the store (the reference's pickle loading,
 train_echoed_speech.py:18-19)."""
 
-from _common import base_parser, setup, task_kwargs, trainer_kwargs
+from _common import base_parser, final_metric, setup, task_kwargs, trainer_kwargs
 
 
 def main():
@@ -39,10 +39,11 @@ def main():
 
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
-    print(
-        f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}; "
-        f"stage 'echoed' saved to {args.store_dir}"
-    )
+    recon = final_metric(f, "recon_error")
+    if recon is None:
+        print(f"stage 'echoed' already at/past {args.updates} updates; nothing to train (--resume)")
+    else:
+        print(f"done: final recon_error {recon:.4f}; stage 'echoed' saved to {args.store_dir}")
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 """Train the location regressor (stage 5) — reference scripts/train_location.py:
 MLP over frozen RIR-branch VQ encodings predicting theta/pi."""
 
-from _common import base_parser, recipe_kwargs, setup, task_kwargs, trainer_kwargs
+from _common import base_parser, final_metric, recipe_kwargs, setup, task_kwargs, trainer_kwargs
 
 
 def main():
@@ -102,12 +102,15 @@ def main():
         state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
     tgt = "(sin,cos)" if getattr(task, "target_mode", "") == "sincos" else "theta/pi"
-    final_mse = f["train"]["location_error"][-100:].mean()
-    print(
-        f"done: final location MSE {final_mse:.5f} "
-        f"(target {tgt}); stage {task.name!r} saved to {args.store_dir}"
-    )
-    if not args.joint and final_mse > 0.15:
+    final_mse = final_metric(f, "location_error")
+    if final_mse is None:
+        print(f"stage {task.name!r} already at/past {args.updates} updates; nothing to train (--resume)")
+    else:
+        print(
+            f"done: final location MSE {final_mse:.5f} "
+            f"(target {tgt}); stage {task.name!r} saved to {args.store_dir}"
+        )
+    if not args.joint and final_mse is not None and final_mse > 0.15:
         # The frozen stage plateaus at the trivial predictor (theta/pi MSE
         # ~1/3 = uniform-angle variance) in EVERY run — expected, not a
         # failure (VERDICT r4 weak #7; VALIDATION.md runs A/B).

@@ -1,6 +1,6 @@
 """Train the speech VQ-VAE (stage 1) — reference scripts/train_speech.py."""
 
-from _common import base_parser, setup, task_kwargs, trainer_kwargs
+from _common import base_parser, final_metric, setup, task_kwargs, trainer_kwargs
 
 
 def main():
@@ -18,11 +18,15 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(args.seed + 1), train)
     state, history = trainer.fit(state, train, val, num_updates=args.updates, resume=args.resume)
     f = history.finalize()
-    print(
-        f"done: final recon_error {f['train']['recon_error'][-100:].mean():.4f}, "
-        f"perplexity {f['train']['perplexity'][-100:].mean():.1f}; "
-        f"stage 'speech' saved to {args.store_dir}"
-    )
+    recon = final_metric(f, "recon_error")
+    if recon is None:
+        print(f"stage 'speech' already at/past {args.updates} updates; nothing to train (--resume)")
+    else:
+        print(
+            f"done: final recon_error {recon:.4f}, "
+            f"perplexity {final_metric(f, 'perplexity'):.1f}; "
+            f"stage 'speech' saved to {args.store_dir}"
+        )
 
 
 if __name__ == "__main__":
