@@ -1,0 +1,24 @@
+#!/bin/bash
+# Resume run K's exact polish leg after the 02:21 tunnel outage (VALIDATION.md
+# round 5): the bank leg was crash-cut at the 173000-update periodic
+# checkpoint, so relaunching WITHOUT the --rir-bank flags resumes from it and
+# trains pure exact-synthesis updates — i.e. exactly the recipe's polish leg
+# (a restore past bank_updates makes leg 1 a no-op; skipping the bank flags
+# also skips the ~10 min bank rebuild). Then runs the committed three-grid
+# held-out eval.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+STORE=${STORE:-/root/repo/stores/runK}
+CORPUS=${CORPUS:-/root/repo/corpora/corpusJ}
+TOTAL_UPDATES=${TOTAL_UPDATES:-223000}   # 173k bank + 50k exact polish
+
+python scripts/train_location.py --store-dir "$STORE" --on-the-fly \
+  --wav-dir "$CORPUS" --joint --predict-radius \
+  --rt60-range 0.12 0.75 --radius-range 0.45 1.45 \
+  --snr-range 0 30 --snr-clean-prob 0.25 --tail-weight 1.0 \
+  --updates "$TOTAL_UPDATES" --keep-checkpoints 8 --log-every 2000 \
+  --seed 11 --resume
+
+bash scripts/eval_runK.sh > "$STORE"_eval.log 2>&1
+echo "eval written to ${STORE}_eval.log"
