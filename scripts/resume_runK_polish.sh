@@ -20,5 +20,8 @@ python scripts/train_location.py --store-dir "$STORE" --on-the-fly \
   --updates "$TOTAL_UPDATES" --keep-checkpoints 8 --log-every 2000 \
   --seed 11 --resume
 
-bash scripts/eval_runK.sh > "$STORE"_eval.log 2>&1
-echo "eval written to ${STORE}_eval.log"
+# Eval output goes INSIDE the repo tree (not gitignored stores/) so an
+# end-of-round snapshot commits it even if the session ends mid-run.
+bash scripts/eval_runK.sh > /root/repo/runK_eval.log 2>&1
+python scripts/summarize_sweep.py /root/repo/runK_eval.log || true
+echo "eval written to /root/repo/runK_eval.log"
